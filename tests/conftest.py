@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
+import jax  # noqa: E402
+
+# float64 islands for parity tests (production code uses explicit dtypes)
+jax.config.update("jax_enable_x64", True)
+
 
 @pytest.fixture(scope="session")
 def rng():
