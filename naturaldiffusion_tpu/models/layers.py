@@ -1,0 +1,304 @@
+"""Flax building blocks for the score-SDE UNet family (NCSN++/DDPM++).
+
+TPU-native re-design of ``deps/score_sde_pytorch/models/{layers,layerspp}.py``:
+NHWC layout throughout, FIR resampling through
+:mod:`naturaldiffusion_tpu.ops.upfirdn2d` (one dilated conv instead of the
+CUDA kernel), attention as batched token attention.
+
+Submodule names intentionally mirror the reference attribute names
+(``GroupNorm_0``, ``Conv_0``, ``NIN_1``, ...) so the torch->flax checkpoint
+converter is a pure name-and-transpose map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import upfirdn2d as firops
+
+
+def default_init(scale: float = 1.0):
+    """DDPM init: variance-scaling(scale, fan_avg, uniform)
+    (reference ``models/layers.py:54-91``)."""
+    return jax.nn.initializers.variance_scaling(
+        1e-10 if scale == 0 else scale, "fan_avg", "uniform")
+
+
+def get_timestep_embedding(timesteps, embedding_dim: int,
+                           max_positions: int = 10000):
+    """Transformer sinusoidal embedding (reference ``models/layers.py:515-529``).
+
+    Note the reference's DDPM-inherited quirk: the frequency denominator is
+    ``half_dim - 1`` (not ``half_dim``)."""
+    half = embedding_dim // 2
+    emb = math.log(max_positions) / (half - 1)
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GaussianFourierProjection(nn.Module):
+    """Random Fourier features of log-sigma (``layerspp.py:32-42``)."""
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("W", jax.nn.initializers.normal(stddev=self.scale),
+                       (self.embedding_size,))
+        w = jax.lax.stop_gradient(w)   # frozen buffer in the reference
+        x_proj = x[:, None] * w[None, :] * 2 * jnp.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class NIN(nn.Module):
+    """1x1 'network-in-network' over the channel axis (``layers.py:546-555``)."""
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param("W", default_init(self.init_scale),
+                       (in_dim, self.num_units))
+        b = self.param("b", jax.nn.initializers.zeros, (self.num_units,))
+        return jnp.einsum("...c,cd->...d", x, w,
+                          precision=jax.lax.Precision.HIGHEST) + b
+
+
+def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
+            init_scale: float = 1.0, padding="SAME", name=None,
+            dilation: int = 1):
+    return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
+                   use_bias=bias, kernel_init=default_init(init_scale),
+                   kernel_dilation=(dilation, dilation), name=name)
+
+
+def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
+            init_scale: float = 1.0, name=None):
+    return nn.Conv(out_ch, (1, 1), strides=(stride, stride), padding="VALID",
+                   use_bias=bias, kernel_init=default_init(init_scale),
+                   name=name)
+
+
+def group_norm(channels: int, name=None):
+    return nn.GroupNorm(num_groups=min(channels // 4, 32), epsilon=1e-6,
+                        name=name)
+
+
+class AttnBlockpp(nn.Module):
+    """Single-head full self-attention over H*W tokens (``layerspp.py:62-89``).
+
+    The reference's NCHW einsum chain is one softmax attention; here it is a
+    plain batched token attention, which XLA maps onto two MXU matmuls."""
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = group_norm(c, name="GroupNorm_0")(x)
+        q = NIN(c, name="NIN_0")(y).reshape(b, h * w, c)
+        k = NIN(c, name="NIN_1")(y).reshape(b, h * w, c)
+        v = NIN(c, name="NIN_2")(y).reshape(b, h * w, c)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                          precision=jax.lax.Precision.HIGHEST) / math.sqrt(c)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bqk,bkc->bqc", attn, v,
+                       precision=jax.lax.Precision.HIGHEST).reshape(b, h, w, c)
+        y = NIN(c, init_scale=self.init_scale, name="NIN_3")(y)
+        out = x + y
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+class FIRConv2d(nn.Module):
+    """3x3 conv fused with FIR up/down-sampling
+    (``up_or_down_sampling.py:Conv2d``, used by FIR Up/Downsample)."""
+    out_ch: int
+    up: bool = False
+    down: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param("weight", default_init(), (3, 3, in_ch, self.out_ch))
+        if self.up:
+            y = firops.upsample_conv_2d(x, w, k=list(self.fir_kernel))
+        elif self.down:
+            y = firops.conv_downsample_2d(x, w, k=list(self.fir_kernel))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+        if self.use_bias:
+            b = self.param("bias", jax.nn.initializers.zeros, (self.out_ch,))
+            y = y + b
+        return y
+
+
+class Upsample(nn.Module):
+    """(``layerspp.py:94-124``) nearest/FIR x2 upsample, optional conv."""
+    out_ch: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        out_ch = self.out_ch or c
+        if not self.fir:
+            y = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            if self.with_conv:
+                y = conv3x3(out_ch, name="Conv_0")(y)
+        else:
+            if self.with_conv:
+                y = FIRConv2d(out_ch, up=True, fir_kernel=self.fir_kernel,
+                              name="Conv2d_0")(x)
+            else:
+                y = firops.upsample_2d(x, k=list(self.fir_kernel))
+        return y
+
+
+class Downsample(nn.Module):
+    """(``layerspp.py:127-159``) avg-pool/FIR x2 downsample, optional conv."""
+    out_ch: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        out_ch = self.out_ch or c
+        if not self.fir:
+            if self.with_conv:
+                # reference pads (0,1,0,1) then VALID-stride-2 conv
+                y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                y = conv3x3(out_ch, stride=2, padding="VALID",
+                            name="Conv_0")(y)
+            else:
+                y = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        else:
+            if self.with_conv:
+                y = FIRConv2d(out_ch, down=True, fir_kernel=self.fir_kernel,
+                              name="Conv2d_0")(x)
+            else:
+                y = firops.downsample_2d(x, k=list(self.fir_kernel))
+        return y
+
+
+class Combine(nn.Module):
+    """Progressive-input combiner (``layerspp.py:45-59``)."""
+    dim2: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x, y):
+        h = conv1x1(self.dim2, name="Conv_0")(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(self.method)
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """(``layerspp.py:162-206``)."""
+    out_ch: int | None = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, deterministic: bool = True):
+        act = nn.silu
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = act(group_norm(in_ch, name="GroupNorm_0")(x))
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=default_init(),
+                             bias_init=jax.nn.initializers.zeros,
+                             name="Dense_0")(act(temb))[:, None, None, :]
+        h = act(group_norm(out_ch, name="GroupNorm_1")(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic,
+                       name="Dropout_0")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, name="Conv_2")(x)
+            else:
+                x = NIN(out_ch, name="NIN_0")(x)
+        out = x + h
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """(``layerspp.py:209-274``): resample-in-block BigGAN residual block."""
+    out_ch: int | None = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, deterministic: bool = True):
+        act = nn.silu
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = act(group_norm(in_ch, name="GroupNorm_0")(x))
+
+        if self.up:
+            if self.fir:
+                h = firops.upsample_2d(h, k=list(self.fir_kernel))
+                x = firops.upsample_2d(x, k=list(self.fir_kernel))
+            else:
+                h = _naive_upsample(h)
+                x = _naive_upsample(x)
+        elif self.down:
+            if self.fir:
+                h = firops.downsample_2d(h, k=list(self.fir_kernel))
+                x = firops.downsample_2d(x, k=list(self.fir_kernel))
+            else:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=default_init(),
+                             bias_init=jax.nn.initializers.zeros,
+                             name="Dense_0")(act(temb))[:, None, None, :]
+        h = act(group_norm(out_ch, name="GroupNorm_1")(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic,
+                       name="Dropout_0")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = conv1x1(out_ch, name="Conv_2")(x)
+
+        out = x + h
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+def _naive_upsample(x, factor: int = 2):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, 1, w, 1, c)
+    x = jnp.tile(x, (1, 1, factor, 1, factor, 1))
+    return x.reshape(b, h * factor, w * factor, c)

@@ -1,0 +1,242 @@
+"""NCSN++ / DDPM++ UNet (Flax, NHWC).
+
+TPU-native rebuild of ``deps/score_sde_pytorch/models/ncsnpp.py:34-381``.
+The reference stores every layer in one flat ``nn.ModuleList`` and walks it
+with a running index; we keep that exact walk (submodules named ``m{i}``) so a
+torch checkpoint maps onto the flax tree by index — but the layers themselves
+are the NHWC/XLA implementations in :mod:`.layers`.
+
+Supported axes (all reference configs): ddpm|biggan resblocks, fir on/off,
+progressive none|output_skip|residual, progressive_input
+none|input_skip|residual, fourier|positional embeddings, conditional on/off,
+scale_by_sigma.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import layers as L
+from ..ops import upfirdn2d as firops
+
+
+@dataclasses.dataclass(frozen=True)
+class NCSNppConfig:
+    image_size: int = 32
+    num_channels: int = 3
+    nf: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 2)
+    num_res_blocks: int = 4
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.1
+    resamp_with_conv: bool = True
+    conditional: bool = True
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    resblock_type: str = "biggan"            # "ddpm" | "biggan"
+    progressive: str = "none"                # "none"|"output_skip"|"residual"
+    progressive_input: str = "none"          # "none"|"input_skip"|"residual"
+    progressive_combine: str = "sum"         # "sum"|"cat"
+    embedding_type: str = "positional"       # "positional"|"fourier"
+    fourier_scale: float = 16.0
+    init_scale: float = 0.0
+    centered: bool = True
+    scale_by_sigma: bool = False
+    num_train_timesteps: int = 1000          # positional-embedding t scale
+
+
+# the config that produced checkpoint_8.pth
+# (deps/score_sde_pytorch/configs/vp/cifar10_ddpmpp_continuous.py:22-66)
+CIFAR10_DDPMPP_CONTINUOUS = NCSNppConfig()
+
+# VE CIFAR-10 NCSN++ (configs/ve/cifar10_ncsnpp_continuous.py): FIR + fourier
+CIFAR10_NCSNPP_CONTINUOUS = NCSNppConfig(
+    fir=True, resblock_type="biggan", embedding_type="fourier",
+    scale_by_sigma=True, conditional=True)
+
+
+def _plain_up(x, cfg):
+    """Param-free x2 upsample (reference shared ``self.pyramid_upsample``)."""
+    if cfg.fir:
+        return firops.upsample_2d(x, k=list(cfg.fir_kernel))
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+
+
+def _plain_down(x, cfg):
+    """Param-free x2 downsample (reference shared ``self.pyramid_downsample``)."""
+    if cfg.fir:
+        return firops.downsample_2d(x, k=list(cfg.fir_kernel))
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class NCSNpp(nn.Module):
+    config: NCSNppConfig
+    sigmas: tuple = ()          # per-timestep sigma table (VE positional only)
+
+    @nn.compact
+    def __call__(self, x, time_cond, *, train: bool = False):
+        cfg = self.config
+        act = nn.silu
+        nf = cfg.nf
+        num_resolutions = len(cfg.ch_mult)
+        all_resolutions = [cfg.image_size // (2 ** i)
+                           for i in range(num_resolutions)]
+
+        counter = iter(range(10_000))
+
+        def idx():
+            return next(counter)
+
+        ResnetBlock = functools.partial(
+            L.ResnetBlockBigGANpp if cfg.resblock_type == "biggan"
+            else L.ResnetBlockDDPMpp,
+            dropout=cfg.dropout, init_scale=cfg.init_scale,
+            skip_rescale=cfg.skip_rescale,
+            **({"fir": cfg.fir, "fir_kernel": tuple(cfg.fir_kernel)}
+               if cfg.resblock_type == "biggan" else {}))
+        AttnBlock = functools.partial(
+            L.AttnBlockpp, init_scale=cfg.init_scale,
+            skip_rescale=cfg.skip_rescale)
+        Up = functools.partial(L.Upsample, with_conv=cfg.resamp_with_conv,
+                               fir=cfg.fir, fir_kernel=tuple(cfg.fir_kernel))
+        Down = functools.partial(L.Downsample, with_conv=cfg.resamp_with_conv,
+                                 fir=cfg.fir, fir_kernel=tuple(cfg.fir_kernel))
+
+        def res(h, temb, **kw):
+            return ResnetBlock(name=f"m{idx()}", **kw)(
+                h, temb, deterministic=not train)
+
+        # --- time embedding --------------------------------------------------
+        used_sigmas = None
+        if cfg.embedding_type == "fourier":
+            used_sigmas = time_cond
+            temb = L.GaussianFourierProjection(
+                embedding_size=nf, scale=cfg.fourier_scale,
+                name=f"m{idx()}")(jnp.log(used_sigmas))
+        else:
+            temb = L.get_timestep_embedding(time_cond, nf)
+            if self.sigmas:
+                used_sigmas = jnp.asarray(np.asarray(self.sigmas),
+                                          x.dtype)[time_cond.astype(jnp.int32)]
+
+        if cfg.conditional:
+            temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
+                            name=f"m{idx()}")(temb)
+            temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
+                            name=f"m{idx()}")(act(temb))
+        else:
+            temb = None
+
+        if not cfg.centered:
+            x = 2 * x - 1.0
+
+        # --- downsampling ----------------------------------------------------
+        input_pyramid = x if cfg.progressive_input != "none" else None
+
+        hs = [L.conv3x3(nf, name=f"m{idx()}")(x)]
+        in_ch = nf
+        for i_level in range(num_resolutions):
+            for _ in range(cfg.num_res_blocks):
+                out_ch = nf * cfg.ch_mult[i_level]
+                h = res(hs[-1], temb, out_ch=out_ch)
+                in_ch = out_ch
+                if h.shape[1] in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"m{idx()}")(h)
+                hs.append(h)
+
+            if i_level != num_resolutions - 1:
+                if cfg.resblock_type == "ddpm":
+                    h = Down(name=f"m{idx()}")(hs[-1])
+                else:
+                    h = res(hs[-1], temb, down=True)
+
+                if cfg.progressive_input == "input_skip":
+                    # param-free FIR/avg downsample (the reference's shared
+                    # self.pyramid_downsample module)
+                    input_pyramid = _plain_down(input_pyramid, cfg)
+                    h = L.Combine(dim2=in_ch, method=cfg.progressive_combine,
+                                  name=f"m{idx()}")(input_pyramid, h)
+                    if cfg.progressive_combine == "cat":
+                        in_ch *= 2
+                elif cfg.progressive_input == "residual":
+                    input_pyramid = Down(out_ch=in_ch,
+                                         name=f"m{idx()}")(input_pyramid)
+                    if cfg.skip_rescale:
+                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                    else:
+                        input_pyramid = input_pyramid + h
+                    h = input_pyramid
+                hs.append(h)
+
+        # --- bottleneck -------------------------------------------------------
+        h = hs[-1]
+        h = res(h, temb)
+        h = AttnBlock(name=f"m{idx()}")(h)
+        h = res(h, temb)
+
+        # --- upsampling -------------------------------------------------------
+        pyramid = None
+        for i_level in reversed(range(num_resolutions)):
+            for _ in range(cfg.num_res_blocks + 1):
+                out_ch = nf * cfg.ch_mult[i_level]
+                h = res(jnp.concatenate([h, hs.pop()], axis=-1), temb,
+                        out_ch=out_ch)
+                in_ch = out_ch
+
+            if h.shape[1] in cfg.attn_resolutions:
+                h = AttnBlock(name=f"m{idx()}")(h)
+
+            if cfg.progressive != "none":
+                if i_level == num_resolutions - 1:
+                    gn = L.group_norm(in_ch, name=f"m{idx()}")
+                    if cfg.progressive == "output_skip":
+                        pyramid = act(gn(h))
+                        pyramid = L.conv3x3(cfg.num_channels,
+                                            init_scale=cfg.init_scale,
+                                            name=f"m{idx()}")(pyramid)
+                    elif cfg.progressive == "residual":
+                        pyramid = act(gn(h))
+                        pyramid = L.conv3x3(in_ch, name=f"m{idx()}")(pyramid)
+                else:
+                    if cfg.progressive == "output_skip":
+                        pyramid = _plain_up(pyramid, cfg)
+                        ph = act(L.group_norm(in_ch, name=f"m{idx()}")(h))
+                        ph = L.conv3x3(cfg.num_channels, bias=True,
+                                       init_scale=cfg.init_scale,
+                                       name=f"m{idx()}")(ph)
+                        pyramid = pyramid + ph
+                    elif cfg.progressive == "residual":
+                        pyramid = Up(out_ch=in_ch, name=f"m{idx()}")(pyramid)
+                        if cfg.skip_rescale:
+                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                        else:
+                            pyramid = pyramid + h
+                        h = pyramid
+
+            if i_level != 0:
+                if cfg.resblock_type == "ddpm":
+                    h = Up(name=f"m{idx()}")(h)
+                else:
+                    h = res(h, temb, up=True)
+
+        assert not hs
+
+        if cfg.progressive == "output_skip":
+            h = pyramid
+        else:
+            h = act(L.group_norm(in_ch, name=f"m{idx()}")(h))
+            h = L.conv3x3(cfg.num_channels, init_scale=cfg.init_scale,
+                          name=f"m{idx()}")(h)
+
+        if cfg.scale_by_sigma:
+            h = h / used_sigmas.reshape(-1, 1, 1, 1)
+        return h
