@@ -52,7 +52,9 @@ def _torch_leaf_and_transform(flax_path: tuple[str, ...], arr_ndim_hint=None):
     if leaf == "weight":              # FIRConv2d raw weight, stays 4D
         return "weight", lambda a: (a.transpose(2, 3, 1, 0) if a.ndim == 4
                                     else a)
-    return leaf, lambda a: a          # bias, W, b, embeddings...
+    if leaf == "embedding":           # flax nn.Embed <- torch nn.Embedding
+        return "weight", lambda a: a
+    return leaf, lambda a: a          # bias, W, b, ...
 
 
 def fill_from_torch(flax_params, state_dict: Mapping[str, object],

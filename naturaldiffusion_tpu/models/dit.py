@@ -1,0 +1,248 @@
+"""DiT — Diffusion Transformer (Flax, NHWC), all 12 size variants.
+
+TPU-native rebuild of ``deps/DiT/models.py:27-372`` (DiT-XL/2 is the
+ImageNet-256 backbone used by ``src/ValidateNaturalInference.py:336-343``).
+
+Design notes (TPU-first):
+* tokens stay ``[B, T, D]`` with heads split only inside attention — the QKV
+  and MLP matmuls are the MXU hot path and shard over a 2-D
+  ``('data','model')`` mesh (see :mod:`naturaldiffusion_tpu.parallel`);
+* the fixed 2-D sin/cos positional table is a compile-time constant, not a
+  parameter (the reference stores it as a frozen buffer);
+* CFG is the batch-doubled single call with the reference's
+  guide-only-``in_channels`` quirk (``deps/DiT/models.py:255-272``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def timestep_embedding(t, dim: int, max_period: int = 10000):
+    """GLIDE-style sinusoidal embedding, cos-first
+    (``deps/DiT/models.py:40-60``; note the /half denominator and cos||sin
+    order — both differ from the score-SDE embedding)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
+    """MAE 2-D sin/cos table (``deps/DiT/models.py:279-330``)."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)   # w first
+    emb_h = _1d(embed_dim // 2, grid[0])
+    emb_w = _1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def modulate(x, shift, scale):
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class Attention(nn.Module):
+    """timm-style multi-head attention (qkv_bias=True, no attn/proj drop)."""
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        h = self.num_heads
+        qkv = nn.Dense(3 * d, use_bias=True, precision=HIGHEST, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(b, t, 3, h, d // h), 3, axis=2)
+        q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
+        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k,
+                          precision=HIGHEST) / math.sqrt(d // h)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=HIGHEST)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, use_bias=True, precision=HIGHEST, name="proj")(y)
+
+
+class Mlp(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden, precision=HIGHEST, name="fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(d, precision=HIGHEST, name="fc2")(x)
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero block (``deps/DiT/models.py:105-126``)."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, c):
+        d = x.shape[-1]
+        mod = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros, precision=HIGHEST,
+                       name="adaLN_modulation_1")(nn.silu(c))
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
+        ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
+        x = x + g_a[:, None, :] * Attention(self.num_heads, name="attn")(
+            modulate(ln(x), sh_a, sc_a))
+        x = x + g_m[:, None, :] * Mlp(int(d * self.mlp_ratio), name="mlp")(
+            modulate(ln(x), sh_m, sc_m))
+        return x
+
+
+class FinalLayer(nn.Module):
+    patch_size: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, c):
+        d = x.shape[-1]
+        mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros, precision=HIGHEST,
+                       name="adaLN_modulation_1")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(nn.LayerNorm(use_bias=False, use_scale=False,
+                                  epsilon=1e-6)(x), shift, scale)
+        return nn.Dense(self.patch_size ** 2 * self.out_channels,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros, precision=HIGHEST,
+                        name="linear")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    input_size: int = 32
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = True
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+
+class DiT(nn.Module):
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, t, y, *, train: bool = False, rng=None):
+        """x: [B, H, W, C] (NHWC); t: [B]; y: [B] int labels.
+        Returns [B, H, W, out_channels]."""
+        cfg = self.config
+        b, hh, ww, cin = x.shape
+        p, d = cfg.patch_size, cfg.hidden_size
+        gh, gw = hh // p, ww // p
+
+        # patchify: conv pxp stride p == reshape + dense; keep the conv form
+        # (named `proj`) for checkpoint compatibility
+        tok = nn.Conv(d, (p, p), strides=(p, p), padding="VALID",
+                      precision=HIGHEST, name="x_embedder_proj")(x).reshape(b, gh * gw, d)
+        pos = jnp.asarray(get_2d_sincos_pos_embed(d, gh), tok.dtype)
+        tok = tok + pos[None]
+
+        temb = timestep_embedding(t, 256)
+        temb = nn.Dense(d, precision=HIGHEST, name="t_embedder_mlp_0")(temb)
+        temb = nn.Dense(d, precision=HIGHEST, name="t_embedder_mlp_2")(nn.silu(temb))
+
+        n_embed = cfg.num_classes + (1 if cfg.class_dropout_prob > 0 else 0)
+        if train and cfg.class_dropout_prob > 0:
+            rng = rng if rng is not None else self.make_rng("label_dropout")
+            drop = jax.random.uniform(rng, (b,)) < cfg.class_dropout_prob
+            y = jnp.where(drop, cfg.num_classes, y)
+        yemb = nn.Embed(n_embed, d,
+                        embedding_init=nn.initializers.normal(0.02),
+                        name="y_embedder_embedding_table")(y)
+        c = temb + yemb
+
+        for i in range(cfg.depth):
+            tok = DiTBlock(cfg.num_heads, cfg.mlp_ratio,
+                           name=f"blocks_{i}")(tok, c)
+        tok = FinalLayer(p, cfg.out_channels, name="final_layer")(tok, c)
+
+        # unpatchify -> NHWC
+        out = tok.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, gh * p, gw * p, cfg.out_channels)
+        return out
+
+
+def forward_with_cfg(apply_fn, x, t, y, cfg_scale: float, in_channels: int):
+    """The reference CFG wrapper, channels-last (``deps/DiT/models.py:255-272``):
+    duplicates the first half of the batch, guides only the first
+    ``in_channels`` output channels (eps), passes the rest (sigma) through."""
+    half = x[: x.shape[0] // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    out = apply_fn(combined, t, y)
+    eps, rest = out[..., :in_channels], out[..., in_channels:]
+    cond, uncond = jnp.split(eps, 2, axis=0)
+    half_eps = uncond + cfg_scale * (cond - uncond)
+    eps = jnp.concatenate([half_eps, half_eps], axis=0)
+    return jnp.concatenate([eps, rest], axis=-1)
+
+
+def _cfg(**kw) -> DiTConfig:
+    return DiTConfig(**kw)
+
+
+DIT_CONFIGS: dict[str, DiTConfig] = {
+    "DiT-XL/2": _cfg(depth=28, hidden_size=1152, patch_size=2, num_heads=16),
+    "DiT-XL/4": _cfg(depth=28, hidden_size=1152, patch_size=4, num_heads=16),
+    "DiT-XL/8": _cfg(depth=28, hidden_size=1152, patch_size=8, num_heads=16),
+    "DiT-L/2": _cfg(depth=24, hidden_size=1024, patch_size=2, num_heads=16),
+    "DiT-L/4": _cfg(depth=24, hidden_size=1024, patch_size=4, num_heads=16),
+    "DiT-L/8": _cfg(depth=24, hidden_size=1024, patch_size=8, num_heads=16),
+    "DiT-B/2": _cfg(depth=12, hidden_size=768, patch_size=2, num_heads=12),
+    "DiT-B/4": _cfg(depth=12, hidden_size=768, patch_size=4, num_heads=12),
+    "DiT-B/8": _cfg(depth=12, hidden_size=768, patch_size=8, num_heads=12),
+    "DiT-S/2": _cfg(depth=12, hidden_size=384, patch_size=2, num_heads=6),
+    "DiT-S/4": _cfg(depth=12, hidden_size=384, patch_size=4, num_heads=6),
+    "DiT-S/8": _cfg(depth=12, hidden_size=384, patch_size=8, num_heads=6),
+}
+
+
+def dit_torch_path_map(path: tuple[str, ...]) -> str:
+    """Flax path -> torch dotted key for DiT checkpoints
+    (``DiT-XL-2-256x256.pt`` layout)."""
+    parts = []
+    for seg in path:
+        if seg.startswith("blocks_"):
+            parts.append("blocks." + seg[len("blocks_"):])
+        elif seg == "x_embedder_proj":
+            parts.append("x_embedder.proj")
+        elif seg == "t_embedder_mlp_0":
+            parts.append("t_embedder.mlp.0")
+        elif seg == "t_embedder_mlp_2":
+            parts.append("t_embedder.mlp.2")
+        elif seg == "y_embedder_embedding_table":
+            parts.append("y_embedder.embedding_table")
+        elif seg == "adaLN_modulation_1":
+            parts.append("adaLN_modulation.1")
+        else:
+            parts.append(seg)
+    return ".".join(parts)

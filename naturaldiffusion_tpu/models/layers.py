@@ -80,14 +80,15 @@ def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
             dilation: int = 1):
     return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
                    use_bias=bias, kernel_init=default_init(init_scale),
-                   kernel_dilation=(dilation, dilation), name=name)
+                   kernel_dilation=(dilation, dilation),
+                   precision=jax.lax.Precision.HIGHEST, name=name)
 
 
 def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
             init_scale: float = 1.0, name=None):
     return nn.Conv(out_ch, (1, 1), strides=(stride, stride), padding="VALID",
                    use_bias=bias, kernel_init=default_init(init_scale),
-                   name=name)
+                   precision=jax.lax.Precision.HIGHEST, name=name)
 
 
 def group_norm(channels: int, name=None):
@@ -233,6 +234,7 @@ class ResnetBlockDDPMpp(nn.Module):
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=jax.nn.initializers.zeros,
+                             precision=jax.lax.Precision.HIGHEST,
                              name="Dense_0")(act(temb))[:, None, None, :]
         h = act(group_norm(out_ch, name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic,
@@ -284,6 +286,7 @@ class ResnetBlockBigGANpp(nn.Module):
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=jax.nn.initializers.zeros,
+                             precision=jax.lax.Precision.HIGHEST,
                              name="Dense_0")(act(temb))[:, None, None, :]
         h = act(group_norm(out_ch, name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic,

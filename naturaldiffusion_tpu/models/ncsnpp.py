@@ -130,8 +130,10 @@ class NCSNpp(nn.Module):
 
         if cfg.conditional:
             temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
+                            precision=jax.lax.Precision.HIGHEST,
                             name=f"m{idx()}")(temb)
             temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
+                            precision=jax.lax.Precision.HIGHEST,
                             name=f"m{idx()}")(act(temb))
         else:
             temb = None

@@ -91,8 +91,16 @@ def _patch_interpolate():
 def _build_reference(config):
     _install_op_stub()
     _patch_interpolate()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    # both reference trees define a top-level `models` module (DiT's models.py
+    # vs score_sde's models/ package) — purge and re-prioritize
+    for k in [k for k in sys.modules
+              if k == "models" or k.startswith("models.")]:
+        if getattr(sys.modules[k], "__file__", "") and \
+                REF not in sys.modules[k].__file__:
+            del sys.modules[k]
+    while REF in sys.path:
+        sys.path.remove(REF)
+    sys.path.insert(0, REF)
     from models import ncsnpp as ref_ncsnpp   # noqa: F401  (registers model)
     return ref_ncsnpp.NCSNpp(config)
 
