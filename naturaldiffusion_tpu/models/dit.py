@@ -23,8 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-HIGHEST = jax.lax.Precision.HIGHEST
-
 
 def timestep_embedding(t, dim: int, max_period: int = 10000):
     """GLIDE-style sinusoidal embedding, cos-first
@@ -68,15 +66,14 @@ class Attention(nn.Module):
     def __call__(self, x):
         b, t, d = x.shape
         h = self.num_heads
-        qkv = nn.Dense(3 * d, use_bias=True, precision=HIGHEST, name="qkv")(x)
+        qkv = nn.Dense(3 * d, use_bias=True, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, h, d // h), 3, axis=2)
         q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k,
-                          precision=HIGHEST) / math.sqrt(d // h)
+        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) / math.sqrt(d // h)
         attn = jax.nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=HIGHEST)
+        y = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, use_bias=True, precision=HIGHEST, name="proj")(y)
+        return nn.Dense(d, use_bias=True, name="proj")(y)
 
 
 class Mlp(nn.Module):
@@ -85,9 +82,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        x = nn.Dense(self.hidden, precision=HIGHEST, name="fc1")(x)
+        x = nn.Dense(self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(d, precision=HIGHEST, name="fc2")(x)
+        return nn.Dense(d, name="fc2")(x)
 
 
 class DiTBlock(nn.Module):
@@ -99,7 +96,7 @@ class DiTBlock(nn.Module):
     def __call__(self, x, c):
         d = x.shape[-1]
         mod = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros, precision=HIGHEST,
+                       bias_init=nn.initializers.zeros,
                        name="adaLN_modulation_1")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
@@ -118,14 +115,14 @@ class FinalLayer(nn.Module):
     def __call__(self, x, c):
         d = x.shape[-1]
         mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros, precision=HIGHEST,
+                       bias_init=nn.initializers.zeros,
                        name="adaLN_modulation_1")(nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
         x = modulate(nn.LayerNorm(use_bias=False, use_scale=False,
                                   epsilon=1e-6)(x), shift, scale)
         return nn.Dense(self.patch_size ** 2 * self.out_channels,
                         kernel_init=nn.initializers.zeros,
-                        bias_init=nn.initializers.zeros, precision=HIGHEST,
+                        bias_init=nn.initializers.zeros,
                         name="linear")(x)
 
 
@@ -149,6 +146,10 @@ class DiTConfig:
 
 class DiT(nn.Module):
     config: DiTConfig
+    # Megatron-SP: a ready NamedSharding for [B, T, D] tokens; when set, a
+    # sharding constraint is applied at every block boundary so XLA gathers
+    # the sequence into the TP matmuls and scatters it back (SURVEY.md §2.5)
+    token_constraint: object = None
 
     @nn.compact
     def __call__(self, x, t, y, *, train: bool = False, rng=None):
@@ -162,13 +163,13 @@ class DiT(nn.Module):
         # patchify: conv pxp stride p == reshape + dense; keep the conv form
         # (named `proj`) for checkpoint compatibility
         tok = nn.Conv(d, (p, p), strides=(p, p), padding="VALID",
-                      precision=HIGHEST, name="x_embedder_proj")(x).reshape(b, gh * gw, d)
+                      name="x_embedder_proj")(x).reshape(b, gh * gw, d)
         pos = jnp.asarray(get_2d_sincos_pos_embed(d, gh), tok.dtype)
         tok = tok + pos[None]
 
         temb = timestep_embedding(t, 256)
-        temb = nn.Dense(d, precision=HIGHEST, name="t_embedder_mlp_0")(temb)
-        temb = nn.Dense(d, precision=HIGHEST, name="t_embedder_mlp_2")(nn.silu(temb))
+        temb = nn.Dense(d, name="t_embedder_mlp_0")(temb)
+        temb = nn.Dense(d, name="t_embedder_mlp_2")(nn.silu(temb))
 
         n_embed = cfg.num_classes + (1 if cfg.class_dropout_prob > 0 else 0)
         if train and cfg.class_dropout_prob > 0:
@@ -181,6 +182,9 @@ class DiT(nn.Module):
         c = temb + yemb
 
         for i in range(cfg.depth):
+            if self.token_constraint is not None:
+                tok = jax.lax.with_sharding_constraint(
+                    tok, self.token_constraint)
             tok = DiTBlock(cfg.num_heads, cfg.mlp_ratio,
                            name=f"blocks_{i}")(tok, c)
         tok = FinalLayer(p, cfg.out_channels, name="final_layer")(tok, c)

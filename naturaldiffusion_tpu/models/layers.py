@@ -71,8 +71,7 @@ class NIN(nn.Module):
         w = self.param("W", default_init(self.init_scale),
                        (in_dim, self.num_units))
         b = self.param("b", jax.nn.initializers.zeros, (self.num_units,))
-        return jnp.einsum("...c,cd->...d", x, w,
-                          precision=jax.lax.Precision.HIGHEST) + b
+        return jnp.einsum("...c,cd->...d", x, w) + b
 
 
 def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
@@ -81,14 +80,14 @@ def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
     return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
                    use_bias=bias, kernel_init=default_init(init_scale),
                    kernel_dilation=(dilation, dilation),
-                   precision=jax.lax.Precision.HIGHEST, name=name)
+                    name=name)
 
 
 def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
             init_scale: float = 1.0, name=None):
     return nn.Conv(out_ch, (1, 1), strides=(stride, stride), padding="VALID",
                    use_bias=bias, kernel_init=default_init(init_scale),
-                   precision=jax.lax.Precision.HIGHEST, name=name)
+                    name=name)
 
 
 def group_norm(channels: int, name=None):
@@ -111,11 +110,9 @@ class AttnBlockpp(nn.Module):
         q = NIN(c, name="NIN_0")(y).reshape(b, h * w, c)
         k = NIN(c, name="NIN_1")(y).reshape(b, h * w, c)
         v = NIN(c, name="NIN_2")(y).reshape(b, h * w, c)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k,
-                          precision=jax.lax.Precision.HIGHEST) / math.sqrt(c)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k) / math.sqrt(c)
         attn = jax.nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bqk,bkc->bqc", attn, v,
-                       precision=jax.lax.Precision.HIGHEST).reshape(b, h, w, c)
+        y = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         y = NIN(c, init_scale=self.init_scale, name="NIN_3")(y)
         out = x + y
         return out / np.sqrt(2.0) if self.skip_rescale else out
@@ -141,8 +138,7 @@ class FIRConv2d(nn.Module):
         else:
             y = jax.lax.conv_general_dilated(
                 x, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.out_ch,))
             y = y + b
@@ -234,8 +230,7 @@ class ResnetBlockDDPMpp(nn.Module):
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=jax.nn.initializers.zeros,
-                             precision=jax.lax.Precision.HIGHEST,
-                             name="Dense_0")(act(temb))[:, None, None, :]
+                                       name="Dense_0")(act(temb))[:, None, None, :]
         h = act(group_norm(out_ch, name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic,
                        name="Dropout_0")(h)
@@ -286,8 +281,7 @@ class ResnetBlockBigGANpp(nn.Module):
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=jax.nn.initializers.zeros,
-                             precision=jax.lax.Precision.HIGHEST,
-                             name="Dense_0")(act(temb))[:, None, None, :]
+                                       name="Dense_0")(act(temb))[:, None, None, :]
         h = act(group_norm(out_ch, name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic,
                        name="Dropout_0")(h)

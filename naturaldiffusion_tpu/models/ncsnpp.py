@@ -130,11 +130,9 @@ class NCSNpp(nn.Module):
 
         if cfg.conditional:
             temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
-                            precision=jax.lax.Precision.HIGHEST,
-                            name=f"m{idx()}")(temb)
+                                     name=f"m{idx()}")(temb)
             temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
-                            precision=jax.lax.Precision.HIGHEST,
-                            name=f"m{idx()}")(act(temb))
+                                     name=f"m{idx()}")(act(temb))
         else:
             temb = None
 

@@ -1,0 +1,68 @@
+"""Train state + jitted step factory (the ``get_step_fn`` equivalent,
+reference ``deps/score_sde_pytorch/losses.py:151-210`` +
+``run_lib.py:104-145``).
+
+The step is a pure function over a ``TrainState`` pytree, so it jits/pjits
+unchanged on 1 chip or a mesh — sharding comes entirely from the in/out
+shardings the caller attaches (see :mod:`naturaldiffusion_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import optax
+
+from .ema import EMA
+from .losses import make_optimizer, sde_loss_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainState:
+    step: Any
+    params: Any
+    opt_state: Any
+    ema: EMA
+
+    @classmethod
+    def create(cls, params, tx, ema_decay: float = 0.9999):
+        return cls(step=0, params=params, opt_state=tx.init(params),
+                   ema=EMA.create(params, decay=ema_decay))
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.step, s.params, s.opt_state, s.ema), None),
+    lambda _, ch: TrainState(*ch),
+)
+
+
+def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
+                    warmup: int = 5000, grad_clip: float = 1.0,
+                    reduce_mean: bool = True,
+                    likelihood_weighting: bool = False,
+                    continuous: bool = True):
+    """Returns (init_fn(params) -> TrainState, step_fn(state, key, batch) ->
+    (state, loss)).  ``apply_fn(params, x, t_label) -> model output``."""
+    tx = make_optimizer(lr=lr, warmup=warmup, grad_clip=grad_clip)
+
+    def init_fn(params) -> TrainState:
+        return TrainState.create(params, tx)
+
+    def loss_fn(params, key, batch):
+        return sde_loss_fn(sde, apply_fn, params, key, batch,
+                           reduce_mean=reduce_mean,
+                           likelihood_weighting=likelihood_weighting,
+                           continuous=continuous)
+
+    def step_fn(state: TrainState, key, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state,
+                          ema=state.ema.update(params)), loss
+
+    return init_fn, step_fn
