@@ -1,0 +1,210 @@
+"""DEIS — Diffusion Exponential Integrator Samplers (jax).
+
+TPU-native rebuild of ``deps/th_deis/`` (sampler.py:15-160, multistep.py,
+rk.py, vpsde.py): t-AB, rho-AB, rho-RK (8 tableaus) and iPNDM.
+
+Contract: ``eps_fn(x, t)`` receives a SCALAR (0-d) time per step, exactly as
+the reference's ``eps_fn(x, s_t)``; broadcast it over the batch inside your
+wrapper (e.g. ``jnp.broadcast_to(t * 999.0, (x.shape[0],))``).
+
+Design: all Adams-Bashforth coefficient tables are host-side float64 numpy
+(reusing the quadrature machinery in
+:mod:`naturaldiffusion_tpu.coeffs.deis`, which is regression-tested against
+the reference's golden matrices); the sampling loop is one ``lax.scan`` with
+the eps history carried as a stacked ``[order, ...]`` array.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedules import LinearVPSDE, deis_rev_ts
+from ..coeffs.deis import ab_coefficients, _lagrange_basis
+
+
+def _ab_scan(eps_fn: Callable, rev_ts: np.ndarray, ab_coef: np.ndarray,
+             order: int):
+    """Shared AB loop (reference ``ab_step`` ``deps/th_deis/multistep.py:98-104``
+    + ``fori_loop`` body ``sampler.py:37-48``): carry (x, eps history
+    newest-first, seeded with xT)."""
+    def sampler(xT):
+        ts = jnp.asarray(rev_ts[:-1], xT.dtype)
+        coefs = jnp.asarray(ab_coef, xT.dtype)
+        hist = jnp.stack([xT] * order)
+
+        def body(carry, inp):
+            x, hist = carry
+            t, c = inp
+            new_eps = eps_fn(x, t)
+            new_x = c[0] * x + c[1] * new_eps
+            for j in range(order):
+                new_x = new_x + c[2 + j] * hist[j]
+            hist = jnp.concatenate([new_eps[None], hist[:-1]], axis=0)
+            return (new_x, hist), None
+
+        (x, _), _ = jax.lax.scan(body, (xT, hist), (ts, coefs))
+        return x
+
+    return sampler
+
+
+def get_sampler_t_ab(sde: LinearVPSDE, eps_fn: Callable, ts_phase: str,
+                     ts_order: float, num_step: int, ab_order: int = 3,
+                     t0: float = 1e-3):
+    """t-AB: exponential integrator in t with psi transition
+    (``sampler.py:26-48``)."""
+    rev_ts = deis_rev_ts(sde, num_step, ts_order, ts_phase, t0=t0)
+    x_coef = np.sqrt(sde.t2alpha(rev_ts[1:]) / sde.t2alpha(rev_ts[:-1]))
+    eps_coef = ab_coefficients(sde, ab_order, rev_ts, ab_order)
+    ab_coef = np.concatenate([x_coef[:, None], eps_coef], axis=1)
+    return _ab_scan(eps_fn, rev_ts, ab_coef, ab_order)
+
+
+def get_sampler_ipndm(sde: LinearVPSDE, eps_fn: Callable, num_step: int,
+                      t0: float = 1e-3):
+    """iPNDM: classical linear-multistep AB weights scaled by the DDIM eps
+    coefficient (``sampler.py:50-95``)."""
+    rev_ts = deis_rev_ts(sde, num_step, 1.0, "t", t0=t0)
+    x_coef = np.sqrt(sde.t2alpha(rev_ts[1:]) / sde.t2alpha(rev_ts[:-1]))
+
+    lin = np.zeros((num_step, 4))
+    for i in range(num_step):
+        if i == 0:
+            lin[i] = [1.0, 0, 0, 0]
+        elif i == 1:
+            lin[i] = [1.5, -0.5, 0, 0]
+        elif i == 2:
+            lin[i] = np.array([23.0, -16.0, 5.0, 0.0]) / 12.0
+        else:
+            lin[i] = np.array([55.0, -59.0, 37.0, -9.0]) / 24.0
+
+    next_a = sde.t2alpha(rev_ts[1:])
+    cur_a = sde.t2alpha(rev_ts[:-1])
+    ddim_coef = np.sqrt(1 - next_a) - np.sqrt(next_a / cur_a) * np.sqrt(1 - cur_a)
+    eps_coef = ddim_coef[:, None] * lin
+    ab_coef = np.concatenate([x_coef[:, None], eps_coef], axis=1)
+    return _ab_scan(eps_fn, rev_ts, ab_coef, 3)
+
+
+def get_sampler_rho_ab(sde: LinearVPSDE, eps_fn: Callable, ts_phase: str,
+                       ts_order: float, num_step: int, ab_order: int = 3,
+                       t0: float = 1e-3):
+    """rho-AB: plain polynomial AB in the rho parameterisation — psi == 1 and
+    integrand == 1, so the quadrature reduces to exact Lagrange-basis
+    integrals (``sampler.py:98-134``)."""
+    rev_ts = deis_rev_ts(sde, num_step, ts_order, ts_phase, t0=t0)
+    rev_rhos = sde.t2rho(rev_ts)
+
+    n = num_step
+    eps_coef = np.zeros((n, ab_order + 1))
+    for i in range(n):
+        k = min(i, ab_order)
+        ts_poly = rev_rhos[i - k: i + 1]
+        # integral of each Lagrange basis over [rho_i, rho_{i+1}] (10k-point
+        # left-Riemann sum, matching the reference grid exactly)
+        m = 10000
+        dr = (rev_rhos[i + 1] - rev_rhos[i]) / m
+        tau = rev_rhos[i] + np.arange(m) * dr
+        basis = _lagrange_basis(tau, ts_poly)
+        eps_coef[i, : k + 1] = (basis.sum(axis=0) * dr)[::-1]
+    ab_coef = np.concatenate([np.ones((n, 1)), eps_coef], axis=1)
+
+    alpha_ts = sde.t2alpha(rev_ts)
+
+    # per-step: eps evaluated at x = v * sqrt(alpha_{t_i}), t = rev_ts[i]
+    sqrt_alphas = np.sqrt(alpha_ts[:-1])
+    ts_nodes = rev_ts[:-1]
+
+    def sampler(xT):
+        coefs = jnp.asarray(ab_coef, xT.dtype)
+        v = xT / float(np.sqrt(alpha_ts[0]))
+        hist = jnp.stack([xT] * ab_order)
+
+        def body(carry, inp):
+            v, hist = carry
+            t, sa, c = inp
+            x = v * sa
+            new_eps = eps_fn(x, t)
+            new_v = c[0] * v + c[1] * new_eps
+            for j in range(ab_order):
+                new_v = new_v + c[2 + j] * hist[j]
+            hist = jnp.concatenate([new_eps[None], hist[:-1]], axis=0)
+            return (new_v, hist), None
+
+        (v, _), _ = jax.lax.scan(
+            body, (v, hist),
+            (jnp.asarray(ts_nodes, xT.dtype),
+             jnp.asarray(sqrt_alphas, xT.dtype), coefs))
+        return v * float(np.sqrt(alpha_ts[-1]))
+
+    return sampler
+
+
+# -- rho-RK (reference rk.py:3-85) --------------------------------------------
+
+_RK_TABLEAUS = {
+    "1euler": ([], [1.0], [0.0]),
+    "2heun": ([[1.0]], [0.5, 0.5], [0.0, 1.0]),
+    "3kutta": ([[0.5], [-1.0, 2.0]], [1 / 6, 4 / 6, 1 / 6], [0.0, 0.5, 1.0]),
+    "3ral": ([[0.5], [0.0, 0.75]], [2 / 9, 1 / 3, 4 / 9], [0.0, 0.5, 0.75]),
+    "3heun": ([[1 / 3], [0.0, 2 / 3]], [0.25, 0.0, 0.75], [0.0, 1 / 3, 2 / 3]),
+    "3vdh": ([[8 / 15], [0.25, 5 / 12]], [0.25, 0.0, 0.75],
+             [0.0, 8 / 15, 2 / 3]),
+    "3ssprk": ([[1.0], [0.25, 0.25]], [1 / 6, 1 / 6, 2 / 3], [0.0, 1.0, 0.5]),
+    "4rk": ([[0.5], [0.0, 0.5], [0.0, 0.0, 1.0]],
+            [1 / 6, 2 / 6, 2 / 6, 1 / 6], [0.0, 0.5, 0.5, 1.0]),
+}
+
+
+def get_sampler_rho_rk(sde: LinearVPSDE, eps_fn: Callable, ts_phase: str,
+                       ts_order: float, num_step: int,
+                       rk_method: str = "3kutta", t0: float = 1e-3):
+    """rho-RK: explicit Runge-Kutta on dv/drho = eps (``sampler.py:137-160``)."""
+    a_tab, b_tab, c_tab = _RK_TABLEAUS[rk_method]
+    rev_ts = deis_rev_ts(sde, num_step, ts_order, ts_phase, t0=t0)
+    rev_rhos = sde.t2rho(rev_ts)
+
+    def eps_fn_vrho(v, rho):
+        t = sde.rho2t(rho)
+        x = v * jnp.sqrt(jnp.asarray(sde.t2alpha(t)))
+        return eps_fn(x, jnp.asarray(t))
+
+    def sampler(xT):
+        v = xT / float(np.sqrt(sde.t2alpha(rev_ts[0])))
+        for i in range(num_step):
+            rho, dr = float(rev_rhos[i]), float(rev_rhos[i + 1] - rev_rhos[i])
+            ks = []
+            for row, c in zip([[]] + a_tab, c_tab):
+                vi = v
+                for aij, kj in zip(row, ks):
+                    vi = vi + dr * aij * kj
+                ks.append(eps_fn_vrho(vi, rho + c * dr))
+            for b, k in zip(b_tab, ks):
+                v = v + dr * b * k
+        return v * float(np.sqrt(sde.t2alpha(rev_ts[-1])))
+
+    return sampler
+
+
+def get_sampler(sde: LinearVPSDE, eps_fn: Callable, ts_phase: str,
+                ts_order: float, num_step: int, method: str = "rho_rk",
+                ab_order: int = 3, rk_method: str = "3kutta",
+                t0: float = 1e-3):
+    """Entry point mirroring ``deps/th_deis/sampler.py:15-24``."""
+    method = method.lower()
+    if method == "rho_rk":
+        return get_sampler_rho_rk(sde, eps_fn, ts_phase, ts_order, num_step,
+                                  rk_method, t0=t0)
+    if method == "rho_ab":
+        return get_sampler_rho_ab(sde, eps_fn, ts_phase, ts_order, num_step,
+                                  ab_order, t0=t0)
+    if method == "t_ab":
+        return get_sampler_t_ab(sde, eps_fn, ts_phase, ts_order, num_step,
+                                ab_order, t0=t0)
+    if method == "ipndm":
+        return get_sampler_ipndm(sde, eps_fn, num_step, t0=t0)
+    raise ValueError(method)
