@@ -78,9 +78,15 @@ class CoeffMatrix:
     @classmethod
     def load(cls, path: str) -> "CoeffMatrix":
         with np.load(path) as f:
-            return cls(x0=f["past_xstart_coeff"],
-                       eps=f["past_epsilon_coeff"],
-                       node=f["node_coeff"])
+            x0 = f["past_xstart_coeff"]
+            eps = f["past_epsilon_coeff"]
+            node = f["node_coeff"]
+        if eps.shape[1] == eps.shape[0]:
+            # the learned weight matrices (weights/step_*_weight_*.npz) store
+            # eps as [n, n] — deterministic, only column 0 (initial noise)
+            # populated; pad the trailing injected-noise column
+            eps = np.concatenate([eps, np.zeros((eps.shape[0], 1))], axis=1)
+        return cls(x0=x0, eps=eps, node=node)
 
     def save_csv(self, path: str) -> None:
         """Human-readable CSV mirror (same layout as ``src/Utils.py:36-45``):

@@ -1,0 +1,77 @@
+"""FID — Frechet Inception Distance (reference:
+``src/CIFAR10NaturalInference.py:44-86`` on pytorch-fid).
+
+Pieces:
+
+* :func:`frechet_distance` — exact Frechet distance between two Gaussians
+  (scipy ``sqrtm`` on host, float64), numerically identical to pytorch-fid's
+  ``calculate_frechet_distance``.
+* :func:`compute_statistics` — (mu, sigma) from a feature matrix.
+* :func:`activations` — batched feature extraction through any jax feature
+  fn (the Flax InceptionV3 port in :mod:`.inception` reproduces pytorch-fid
+  when its ``pt_inception-2015-12-05.pth`` weights are converted; the
+  reference stats file ``weights/cifar10_mu_sigma.npz`` is missing from the
+  snapshot — ``.MISSING_LARGE_BLOBS:3``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+
+def compute_statistics(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    feats = np.asarray(feats, np.float64)
+    return feats.mean(axis=0), np.cov(feats, rowvar=False)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """pytorch-fid ``calculate_frechet_distance``, bit-compatible."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"Imaginary component {np.max(np.abs(covmean.imag))}")
+        covmean = covmean.real
+
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def activations(images: np.ndarray, feature_fn: Callable,
+                batch_size: int = 256) -> np.ndarray:
+    """[N, H, W, C] in [0, 1] -> [N, D] features, batched."""
+    out = []
+    for i in range(0, len(images), batch_size):
+        out.append(np.asarray(feature_fn(images[i:i + batch_size])))
+    return np.concatenate(out)
+
+
+def fid_from_samples(images: np.ndarray, stats_path: str,
+                     feature_fn: Callable | None = None,
+                     value_range=(-1.0, 1.0)) -> float:
+    """images [N,H,W,C] in ``value_range`` vs reference (mu, sigma) npz
+    (``weights/cifar10_mu_sigma.npz`` layout: keys ``mu``/``sigma``)."""
+    with np.load(stats_path) as f:
+        mu_ref = f["mu"] if "mu" in f else f["mu_sigma"][0]
+        sig_ref = f["sigma"] if "sigma" in f else f["mu_sigma"][1]
+
+    if feature_fn is None:
+        from .inception import default_feature_fn
+        feature_fn = default_feature_fn()
+
+    lo, hi = value_range
+    imgs01 = np.clip((np.asarray(images, np.float32) - lo) / (hi - lo), 0, 1)
+    feats = activations(imgs01, feature_fn)
+    mu, sigma = compute_statistics(feats)
+    return frechet_distance(mu, sigma, mu_ref, sig_ref)
