@@ -1,0 +1,168 @@
+"""SD3 Natural-Inference with sharpness control —
+``src/SD3NaturalInference.py:157-250`` rebuilt on the Flax MMDiT.
+
+The NI form here re-projects every step from the weighted x0 history:
+
+    model_input = sigma_k * noise + (1 - sigma_k) * weighted_x0
+
+with ``weighted_x0 = sum_j w[k,j] x0_j / sum_j w[k,j]`` (row-sum normalized,
+reference ``weighted_sum:157-168``); the "sharp" CSV zero-clips old columns
+and boosts the final diagonal (paper §5.3 sharpness control).
+
+Text conditioning: pass ``--embeds embeds.npz`` with precomputed
+``prompt_embeds [B,T,4096]``, ``pooled [B,2048]`` and the ``negative_*``
+pair (the reference's 3-text-encoder stack produces these); synthetic
+embeddings otherwise (smoke mode).  ``--ckpt``/``--vae`` load converted HF
+weights when available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mmdit import MMDiT, MMDiTConfig
+from ..utils.plotting import save_image_grid
+
+
+def flow_match_sigmas(num_step: int, *, shift: float = 3.0,
+                      num_train: int = 1000) -> tuple[np.ndarray, np.ndarray]:
+    """(timesteps, sigmas) of diffusers' FlowMatchEulerDiscreteScheduler
+    ``set_timesteps`` (SD3 config: shift=3).  sigmas has a trailing 0."""
+    ts = np.linspace(num_train, 1.0, num_step)
+    sigmas = ts / num_train
+    sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    timesteps = sigmas * num_train
+    return timesteps, np.append(sigmas, 0.0)
+
+
+def load_weight_csv(path: str) -> np.ndarray:
+    import pandas as pd
+    return pd.read_csv(path, index_col=0).to_numpy()
+
+
+def weighted_sum(seq_x0, weights: np.ndarray):
+    """Row-sum-normalized weighted sum over the x0 history
+    (reference ``weighted_sum``, ``src/SD3NaturalInference.py:157-168``)."""
+    n = len(seq_x0)
+    acc = jnp.zeros_like(seq_x0[0])
+    tot = 0.0
+    for i, arr in enumerate(seq_x0):
+        w = float(weights[n - 1][i])
+        acc = acc + arr * w
+        tot += w
+    return acc / tot
+
+
+def sd3_natural_inference(model, params, noises, weights, *, context,
+                          pooled, neg_context, neg_pooled, num_step: int = 28,
+                          cfg_scale: float = 7.0):
+    timesteps, sigmas = flow_match_sigmas(num_step)
+    seq_x0: list = []
+    b = noises.shape[0]
+
+    @jax.jit
+    def fwd(x, t, ctx, pool):
+        return model.apply({"params": params}, x, t, ctx, pool)
+
+    for k in range(num_step):
+        t = jnp.full((b,), timesteps[k], jnp.float32)
+        sigma = float(sigmas[k])
+        curr_x0 = weighted_sum(seq_x0, weights) if seq_x0 \
+            else jnp.zeros_like(noises)
+        model_in = sigma * noises + (1.0 - sigma) * curr_x0
+
+        text_v = fwd(model_in, t, context, pooled)
+        null_v = fwd(model_in, t, neg_context, neg_pooled)
+        text_x0 = model_in - sigma * text_v
+        null_x0 = model_in - sigma * null_v
+        fuse_x0 = null_x0 + cfg_scale * (text_x0 - null_x0)
+        seq_x0.append(fuse_x0)
+
+    return weighted_sum(seq_x0, weights)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights", default=None,
+                   help="weight CSV (weights/sd3_step_28_weight[_sharp].csv)")
+    p.add_argument("--embeds", default=None, help="precomputed text embeds npz")
+    p.add_argument("--ckpt", default=None, help="converted MMDiT weights")
+    p.add_argument("--vae", default=None, help="converted SD3 VAE weights")
+    p.add_argument("--steps", type=int, default=28)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--latent", type=int, default=128,
+                   help="latent H=W (128 = 1024px)")
+    p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--small", action="store_true",
+                   help="tiny random model (smoke mode)")
+    p.add_argument("--outdir", default="samples/sd3")
+    args = p.parse_args(argv)
+
+    cfg = MMDiTConfig() if not args.small else MMDiTConfig(
+        hidden_size=128, depth=2, num_heads=4, joint_attention_dim=64,
+        pooled_projection_dim=64)
+    model = MMDiT(config=cfg)
+
+    b, hw = args.batch, args.latent
+    key = jax.random.PRNGKey(args.seed)
+    noises = jax.random.normal(key, (b, hw, hw, cfg.in_channels), jnp.float32)
+
+    if args.embeds:
+        with np.load(args.embeds) as f:
+            ctx = jnp.asarray(f["prompt_embeds"])
+            pooled = jnp.asarray(f["pooled"])
+            nctx = jnp.asarray(f["negative_prompt_embeds"])
+            npooled = jnp.asarray(f["negative_pooled"])
+    else:
+        k1, k2 = jax.random.split(key)
+        ctx = jax.random.normal(k1, (b, 77, cfg.joint_attention_dim)) * 0.02
+        pooled = jax.random.normal(k2, (b, cfg.pooled_projection_dim)) * 0.02
+        nctx, npooled = jnp.zeros_like(ctx), jnp.zeros_like(pooled)
+
+    params = model.init(jax.random.PRNGKey(0), noises[:1],
+                        jnp.zeros(1), ctx[:1], pooled[:1])["params"]
+    if args.ckpt:
+        from ..models.convert import fill_from_torch, load_torch_checkpoint
+        from ..models.mmdit import mmdit_torch_path_map
+        sd = load_torch_checkpoint(args.ckpt)
+        params, unused = fill_from_torch(params, sd,
+                                         path_map=mmdit_torch_path_map)
+        print(f"loaded {args.ckpt} ({len(unused)} unused keys)")
+
+    weights = load_weight_csv(args.weights) if args.weights \
+        else np.tril(np.ones((args.steps, args.steps)))
+
+    x0 = sd3_natural_inference(
+        model, params, noises, weights, context=ctx, pooled=pooled,
+        neg_context=nctx, neg_pooled=npooled, num_step=args.steps)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    np.save(os.path.join(args.outdir, "latents.npy"),
+            np.asarray(x0, np.float32))
+    print(f"latents -> {args.outdir}/latents.npy "
+          f"(finite={bool(np.isfinite(np.asarray(x0)).all())})")
+
+    if args.vae:
+        from ..models.vae import AutoencoderKL, SD3_VAE, vae_torch_path_map
+        from ..models.convert import fill_from_torch, load_torch_checkpoint
+        vae = AutoencoderKL(config=SD3_VAE)
+        vp = vae.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 8, 8, 3)))["params"]
+        vp, _ = fill_from_torch(vp, load_torch_checkpoint(args.vae),
+                                path_map=vae_torch_path_map)
+        imgs = vae.apply({"params": vp}, vae.unscale_latents(x0),
+                         method=AutoencoderKL.decode)
+        save_image_grid(np.asarray(imgs), os.path.join(args.outdir,
+                                                       "grid.png"), nrow=4)
+        print(f"decoded -> {args.outdir}/grid.png")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

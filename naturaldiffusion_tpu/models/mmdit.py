@@ -1,0 +1,224 @@
+"""MMDiT — the SD3 multimodal diffusion transformer (Flax, NHWC).
+
+TPU-native stand-in for the diffusers ``SD3Transformer2DModel`` the reference
+drives through ``StableDiffusion3Pipeline``
+(``src/SD3NaturalInference.py:175-213``).  Dual-stream joint-attention
+design (Esser et al., "Scaling Rectified Flow Transformers", 2024):
+
+* latent stream: patchified 16-ch latents + 2-D sin/cos positions;
+* context stream: projected text-token embeddings (CLIP+T5 concat);
+* each block: per-stream adaLN-Zero modulation, ONE joint attention over
+  ``[latent; context]`` tokens (diffusers sample-first order), per-stream
+  MLPs; the context stream is dropped in the final block;
+* conditioning vector = sinusoidal timestep embedding + pooled-text MLP.
+
+Parameter names mirror the HF checkpoint layout (``transformer_blocks.N.*``)
+via :func:`mmdit_torch_path_map`, so SD3 safetensors convert with the same
+name-and-transpose machinery as the other backbones.  (diffusers itself is
+not in this image — parity tests cover shape/CFG/selfconsistency; numeric
+parity runs when HF weights are provided.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .dit import get_2d_sincos_pos_embed, timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    sample_size: int = 128            # latent H=W (128 -> 1024px images)
+    patch_size: int = 2
+    in_channels: int = 16
+    hidden_size: int = 1536           # SD3-medium: 24 * 64
+    depth: int = 24
+    num_heads: int = 24
+    caption_projection_dim: int = 1536
+    joint_attention_dim: int = 4096   # T5/CLIP concat token dim
+    pooled_projection_dim: int = 2048
+    pos_embed_max_size: int = 192
+    qk_norm: bool = False             # SD3.5 uses RMSNorm on q/k
+
+
+class TimestepTextEmbed(nn.Module):
+    """c = MLP(sinusoidal(t*1000-ish)) + MLP(pooled_text)
+    (HF ``time_text_embed``)."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, t, pooled):
+        temb = timestep_embedding(t, 256)
+        temb = nn.Dense(self.hidden, name="timestep_embedder_linear_1")(temb)
+        temb = nn.Dense(self.hidden,
+                        name="timestep_embedder_linear_2")(nn.silu(temb))
+        p = nn.Dense(self.hidden, name="text_embedder_linear_1")(pooled)
+        p = nn.Dense(self.hidden, name="text_embedder_linear_2")(nn.silu(p))
+        return temb + p
+
+
+class JointBlock(nn.Module):
+    num_heads: int
+    context_pre_only: bool = False
+    qk_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, ctx, c):
+        d = x.shape[-1]
+        h = self.num_heads
+        hd = d // h
+
+        # adaLN-Zero per stream (6 params; context-final block gets 2)
+        mod_x = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
+                         name="norm1_linear")(nn.silu(c))
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod_x, 6, axis=-1)
+        n_ctx_mod = 2 if self.context_pre_only else 6
+        mod_c = nn.Dense(n_ctx_mod * d, kernel_init=nn.initializers.zeros,
+                         name="norm1_context_linear")(nn.silu(c))
+        cmods = jnp.split(mod_c, n_ctx_mod, axis=-1)
+
+        ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
+
+        def moded(v, sh, sc):
+            return v * (1 + sc[:, None, :]) + sh[:, None, :]
+
+        x_in = moded(ln(x), sh1, sc1)
+        c_in = moded(ln(ctx), cmods[0], cmods[1])
+
+        def heads(v):
+            b, t, _ = v.shape
+            return v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+
+        q = heads(nn.Dense(d, name="attn_to_q")(x_in))
+        k = heads(nn.Dense(d, name="attn_to_k")(x_in))
+        v = heads(nn.Dense(d, name="attn_to_v")(x_in))
+        cq = heads(nn.Dense(d, name="attn_add_q_proj")(c_in))
+        ck = heads(nn.Dense(d, name="attn_add_k_proj")(c_in))
+        cv = heads(nn.Dense(d, name="attn_add_v_proj")(c_in))
+
+        if self.qk_norm:
+            rms = nn.RMSNorm(epsilon=1e-6)
+            q, k, cq, ck = rms(q), rms(k), rms(cq), rms(ck)
+
+        # joint attention over [latent; context] (diffusers order)
+        q = jnp.concatenate([q, cq], axis=2)
+        k = jnp.concatenate([k, ck], axis=2)
+        v = jnp.concatenate([v, cv], axis=2)
+        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) / math.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1)
+        o = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+        b, _, t_all, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, t_all, d)
+        t_x = x.shape[1]
+        o_x, o_c = o[:, :t_x], o[:, t_x:]
+
+        x = x + g1[:, None, :] * nn.Dense(d, name="attn_to_out_0")(o_x)
+        xm = moded(ln(x), sh2, sc2)
+        ff = nn.Dense(4 * d, name="ff_net_0_proj")(xm)
+        ff = nn.Dense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
+        x = x + g2[:, None, :] * ff
+
+        if self.context_pre_only:
+            return x, None
+        ctx = ctx + cmods[2][:, None, :] * nn.Dense(
+            d, name="attn_to_add_out")(o_c)
+        cm = moded(ln(ctx), cmods[3], cmods[4])
+        cff = nn.Dense(4 * d, name="ff_context_net_0_proj")(cm)
+        cff = nn.Dense(d, name="ff_context_net_2")(
+            nn.gelu(cff, approximate=True))
+        ctx = ctx + cmods[5][:, None, :] * cff
+        return x, ctx
+
+
+class MMDiT(nn.Module):
+    config: MMDiTConfig
+
+    @nn.compact
+    def __call__(self, x, t, context, pooled):
+        """x: [B, H, W, C] latents; t: [B] (sigma*1000 convention upstream);
+        context: [B, T_ctx, joint_attention_dim]; pooled: [B, pooled_dim].
+        Returns [B, H, W, C] (the velocity prediction)."""
+        cfg = self.config
+        b, hh, ww, _ = x.shape
+        p, d = cfg.patch_size, cfg.hidden_size
+        gh, gw = hh // p, ww // p
+
+        tok = nn.Conv(d, (p, p), strides=(p, p), padding="VALID",
+                      name="pos_embed_proj")(x).reshape(b, gh * gw, d)
+        # cropped fixed sin/cos table (HF stores a pos_embed_max_size table
+        # and crops the center; same values for the table we generate)
+        pos = get_2d_sincos_pos_embed(d, gh)
+        tok = tok + jnp.asarray(pos, tok.dtype)[None]
+
+        c = TimestepTextEmbed(d, name="time_text_embed")(t, pooled)
+        ctx = nn.Dense(d, name="context_embedder")(context)
+
+        for i in range(cfg.depth):
+            tok, ctx = JointBlock(
+                cfg.num_heads, context_pre_only=(i == cfg.depth - 1),
+                qk_norm=cfg.qk_norm, name=f"transformer_blocks_{i}",
+            )(tok, ctx, c)
+
+        mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
+                       name="norm_out_linear")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        tok = nn.LayerNorm(use_bias=False, use_scale=False,
+                           epsilon=1e-6)(tok)
+        tok = tok * (1 + scale[:, None, :]) + shift[:, None, :]
+        tok = nn.Dense(p * p * cfg.in_channels,
+                       kernel_init=nn.initializers.zeros,
+                       name="proj_out")(tok)
+
+        out = tok.reshape(b, gh, gw, p, p, cfg.in_channels)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, gh * p, gw * p, cfg.in_channels)
+
+
+SD3_MEDIUM = MMDiTConfig()
+
+
+def mmdit_torch_path_map(path: tuple[str, ...]) -> str:
+    """Flax path -> HF SD3Transformer2DModel dotted key."""
+    parts = []
+    for seg in path:
+        if seg.startswith("transformer_blocks_"):
+            parts.append("transformer_blocks."
+                         + seg[len("transformer_blocks_"):])
+        elif seg == "pos_embed_proj":
+            parts.append("pos_embed.proj")
+        elif seg == "time_text_embed":
+            parts.append("time_text_embed")
+        elif seg.startswith("timestep_embedder_linear_"):
+            parts.append("timestep_embedder.linear_" + seg[-1])
+        elif seg.startswith("text_embedder_linear_"):
+            parts.append("text_embedder.linear_" + seg[-1])
+        elif seg == "norm1_linear":
+            parts.append("norm1.linear")
+        elif seg == "norm1_context_linear":
+            parts.append("norm1_context.linear")
+        elif seg.startswith("attn_to_out_0"):
+            parts.append("attn.to_out.0")
+        elif seg.startswith("attn_to_add_out"):
+            parts.append("attn.to_add_out")
+        elif seg.startswith("attn_add_"):
+            parts.append("attn." + seg[len("attn_"):])
+        elif seg.startswith("attn_to_"):
+            parts.append("attn." + seg[len("attn_"):])
+        elif seg == "ff_net_0_proj":
+            parts.append("ff.net.0.proj")
+        elif seg == "ff_net_2":
+            parts.append("ff.net.2")
+        elif seg == "ff_context_net_0_proj":
+            parts.append("ff_context.net.0.proj")
+        elif seg == "ff_context_net_2":
+            parts.append("ff_context.net.2")
+        elif seg == "norm_out_linear":
+            parts.append("norm_out.linear")
+        else:
+            parts.append(seg)
+    return ".".join(parts)
