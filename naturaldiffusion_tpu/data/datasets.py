@@ -1,0 +1,80 @@
+"""Dataset pipelines — ``deps/score_sde_pytorch/datasets.py:23-196`` without
+the TFDS dependency.
+
+* ``get_scaler``/``get_inverse_scaler``: the centered/[0,1] data maps.
+* ``cifar10_iterator``: infinite shuffled batch iterator over the CIFAR-10
+  binary files through the native C++ loader (numpy fallback), with the
+  reference's random-flip augmentation (``datasets.py:123-130``).
+* ``synthetic_iterator``: shape-compatible stand-in when no data is on disk
+  (this image has no datasets and zero egress).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator
+
+import numpy as np
+
+from .native_loader import NativeBatchLoader
+
+
+def get_scaler(centered: bool = True):
+    """[0,1] -> model space (reference ``datasets.py:36-42``)."""
+    return (lambda x: x * 2.0 - 1.0) if centered else (lambda x: x)
+
+
+def get_inverse_scaler(centered: bool = True):
+    return (lambda x: (x + 1.0) / 2.0) if centered else (lambda x: x)
+
+
+def cifar10_iterator(data_dir: str, batch_size: int, *,
+                     split: str = "train", centered: bool = True,
+                     random_flip: bool = True, seed: int = 0,
+                     force_numpy: bool = False) -> Iterator:
+    """Yields (images [B,32,32,3] in model space, labels [B]) forever.
+
+    ``data_dir`` holds the CIFAR-10 *binary* release (cifar-10-batches-bin):
+    data_batch_{1..5}.bin / test_batch.bin."""
+    pattern = "data_batch_*.bin" if split == "train" else "test_batch.bin"
+    paths = sorted(glob.glob(os.path.join(data_dir, pattern)))
+    if not paths:
+        raise FileNotFoundError(
+            f"no CIFAR-10 binary files under {data_dir!r} ({pattern})")
+    loader = NativeBatchLoader(paths, seed=seed, force_numpy=force_numpy)
+    scaler = get_scaler(centered)
+
+    def gen():
+        while True:
+            images, labels = loader.next_batch(batch_size,
+                                               random_flip=random_flip)
+            yield scaler(images), labels
+
+    return gen()
+
+
+def synthetic_iterator(batch_size: int, *, shape=(32, 32, 3),
+                       num_classes: int = 10, centered: bool = True,
+                       seed: int = 0) -> Iterator:
+    rng = np.random.default_rng(seed)
+    scaler = get_scaler(centered)
+
+    while True:
+        imgs = rng.random((batch_size,) + tuple(shape), np.float32)
+        labels = rng.integers(0, num_classes, batch_size).astype(np.int32)
+        yield scaler(imgs), labels
+
+
+def get_dataset(name: str, batch_size: int, *, data_dir: str | None = None,
+                centered: bool = True, **kw) -> Iterator:
+    """Registry entry point (reference ``get_dataset``, ``datasets.py:71``)."""
+    if name == "cifar10":
+        if data_dir and glob.glob(os.path.join(data_dir, "*_batch*.bin")):
+            return cifar10_iterator(data_dir, batch_size, centered=centered,
+                                    **kw)
+        return synthetic_iterator(batch_size, shape=(32, 32, 3),
+                                  centered=centered)
+    if name == "synthetic":
+        return synthetic_iterator(batch_size, centered=centered, **kw)
+    raise ValueError(f"unknown dataset {name!r}")

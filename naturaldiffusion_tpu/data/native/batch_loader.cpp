@@ -1,0 +1,142 @@
+// Native batch loader: mmap'd uint8 record files -> shuffled float32 batches.
+//
+// TPU-native counterpart of the reference's data substrate
+// (deps/score_sde_pytorch/datasets.py builds TFDS input pipelines; the two
+// CUDA extensions are its only other native code).  Here the host-side hot
+// path — record gather, dequantize, augment — is C++ so the Python layer
+// only hands buffers to jax.device_put.
+//
+// Record format: CIFAR-10 binary version (data_batch_*.bin): one byte label
+// + 3072 bytes CHW uint8 pixels per record.  The loader is generic over
+// (label_bytes, c, h, w).
+//
+// Exposed C ABI (ctypes):
+//   bl_open(paths, n_paths, label_bytes, c, h, w) -> handle
+//   bl_num_records(handle)
+//   bl_fill_batch(handle, indices, n, out_images, out_labels, hflip_mask)
+//       gathers records, converts CHW uint8 -> HWC float32 in [0,1],
+//       applies per-sample horizontal flip where hflip_mask[i] != 0
+//   bl_close(handle)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct Mapping {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+};
+
+struct Loader {
+  std::vector<Mapping> maps;
+  std::vector<size_t> cum_records;  // cumulative record counts per file
+  int label_bytes = 1;
+  int c = 3, h = 32, w = 32;
+  size_t record_bytes() const {
+    return static_cast<size_t>(label_bytes) +
+           static_cast<size_t>(c) * h * w;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bl_open(const char** paths, int n_paths, int label_bytes, int c, int h,
+              int w) {
+  Loader* L = new Loader();
+  L->label_bytes = label_bytes;
+  L->c = c;
+  L->h = h;
+  L->w = w;
+  size_t total = 0;
+  for (int i = 0; i < n_paths; ++i) {
+    int fd = open(paths[i], O_RDONLY);
+    if (fd < 0) {
+      delete L;
+      return nullptr;
+    }
+    struct stat st;
+    fstat(fd, &st);
+    void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+      close(fd);
+      delete L;
+      return nullptr;
+    }
+    madvise(p, st.st_size, MADV_WILLNEED);
+    Mapping m;
+    m.data = static_cast<const uint8_t*>(p);
+    m.size = static_cast<size_t>(st.st_size);
+    m.fd = fd;
+    L->maps.push_back(m);
+    total += m.size / L->record_bytes();
+    L->cum_records.push_back(total);
+  }
+  return L;
+}
+
+long bl_num_records(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  return L->cum_records.empty() ? 0 : (long)L->cum_records.back();
+}
+
+// out_images: [n, h, w, c] float32; out_labels: [n] int32
+void bl_fill_batch(void* handle, const long* indices, int n,
+                   float* out_images, int32_t* out_labels,
+                   const uint8_t* hflip_mask) {
+  Loader* L = static_cast<Loader*>(handle);
+  const size_t rec = L->record_bytes();
+  const int c = L->c, h = L->h, w = L->w;
+  const float inv = 1.0f / 255.0f;
+
+  for (int i = 0; i < n; ++i) {
+    size_t idx = static_cast<size_t>(indices[i]);
+    // locate file
+    size_t fi = 0;
+    while (idx >= L->cum_records[fi]) ++fi;
+    size_t base = fi == 0 ? 0 : L->cum_records[fi - 1];
+    const uint8_t* r = L->maps[fi].data + (idx - base) * rec;
+
+    int32_t label = 0;
+    for (int b = 0; b < L->label_bytes; ++b)
+      label = (label << 8) | r[b];  // big-endian multi-byte labels (CIFAR100)
+    out_labels[i] = label;
+
+    const uint8_t* px = r + L->label_bytes;
+    float* out = out_images + static_cast<size_t>(i) * h * w * c;
+    const bool flip = hflip_mask && hflip_mask[i];
+    // CHW uint8 -> HWC float32 (+ optional horizontal flip)
+    for (int ch = 0; ch < c; ++ch) {
+      const uint8_t* plane = px + static_cast<size_t>(ch) * h * w;
+      for (int y = 0; y < h; ++y) {
+        const uint8_t* row = plane + static_cast<size_t>(y) * w;
+        float* orow = out + (static_cast<size_t>(y) * w) * c + ch;
+        if (flip) {
+          for (int x = 0; x < w; ++x) orow[(w - 1 - x) * (size_t)c] = row[x] * inv;
+        } else {
+          for (int x = 0; x < w; ++x) orow[x * (size_t)c] = row[x] * inv;
+        }
+      }
+    }
+  }
+}
+
+void bl_close(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  for (auto& m : L->maps) {
+    munmap(const_cast<uint8_t*>(m.data), m.size);
+    close(m.fd);
+  }
+  delete L;
+}
+
+}  // extern "C"
