@@ -77,13 +77,15 @@ def main():
 
     k = jax.random.PRNGKey(2)
     out = run(x0, k)
-    out.block_until_ready()                    # compile
-    n_iter = 3
-    t0_ = time.time()
-    for i in range(n_iter):
+    out.block_until_ready()                    # compile + warm
+    # per-iteration timing, median of 5 (the tunnel adds noisy RPC latency)
+    times = []
+    for i in range(5):
+        t0_ = time.time()
         out = run(x0, jax.random.fold_in(k, i))
-    out.block_until_ready()
-    dt = (time.time() - t0_) / n_iter
+        out.block_until_ready()
+        times.append(time.time() - t0_)
+    dt = sorted(times)[len(times) // 2]
     img_per_sec = BATCH / dt
 
     assert np.isfinite(np.asarray(out, np.float32)).all()

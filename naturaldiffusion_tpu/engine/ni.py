@@ -83,6 +83,7 @@ def natural_inference(
     accum_dtype=jnp.float32,
     model_dtype=None,
     weighted_sum_fn=weighted_sum_xla,
+    unroll: bool | None = None,
 ) -> jnp.ndarray:
     """Run Natural Inference; returns the final state ``z`` (decoded sample).
 
@@ -91,6 +92,11 @@ def natural_inference(
     ``init_noise``: ``[B, ...]`` prior sample (eps column 0).
     ``noises``: optional ``[n, B, ...]`` injected noises (columns 1..n); drawn
     from ``key`` when omitted; ignored for deterministic schedules.
+
+    ``unroll``: unroll the step loop instead of ``lax.scan``.  Default: on
+    for n <= 32.  The unrolled form lets XLA keep the x0 history as live
+    values instead of a carried ring buffer — measured ~1.5x faster on v5e
+    at NI's typical step counts; scan keeps compile time bounded for large n.
 
     Reference loop shape: ``src/ValidateNaturalInference.py:345-366``.
     """
@@ -109,10 +115,28 @@ def natural_inference(
     else:
         buf_eps = init_noise.astype(acc)[None]          # [1, ...] column 0 only
 
-    buf_x0 = jnp.zeros((n,) + shape, dtype=acc)
     z0 = init_noise.astype(acc)            # x at node 0 IS the prior sample
-
     eps_cols = buf_eps.shape[0]
+
+    if unroll is None:
+        unroll = n <= 32
+    if unroll:
+        z = z0
+        seq_x0: list = []
+        x0_m = sched.x0.astype(acc)
+        eps_m = sched.eps.astype(acc)
+        for k in range(n):
+            pred = denoise_fn(z.astype(model_dtype), sched.node[k, 0])
+            x0 = to_x0(pred, z, sched.node[k, 1], sched.node[k, 2],
+                       prediction_type, accum_dtype=acc)
+            seq_x0.append(x0)
+            next_x0 = sum(x0_m[k, j] * seq_x0[j] for j in range(k + 1))
+            next_eps = sum(eps_m[k, j] * buf_eps[j]
+                           for j in range(min(eps_cols, k + 2)))
+            z = next_x0 + next_eps
+        return z
+
+    buf_x0 = jnp.zeros((n,) + shape, dtype=acc)
 
     def step(carry, inp):
         z, buf_x0 = carry

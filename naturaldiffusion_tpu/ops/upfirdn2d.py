@@ -50,7 +50,6 @@ def upfirdn2d(x, kernel, up: int = 1, down: int = 1,
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -107,8 +106,7 @@ def upsample_conv_2d(x, w, k=None, factor: int = 2, gain: float = 1.0):
         x, w, window_strides=(1, 1),
         padding=((ch - 1, ch - 1), (cw - 1, cw - 1)),
         lhs_dilation=(factor, factor),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return upfirdn2d(y, jnp.asarray(k),
                      pad=((p + 1) // 2 + factor - 1, p // 2 + 1))
 
@@ -124,5 +122,4 @@ def conv_downsample_2d(x, w, k=None, factor: int = 2, gain: float = 1.0):
     y = upfirdn2d(x, jnp.asarray(k), pad=((p + 1) // 2, p // 2))
     return jax.lax.conv_general_dilated(
         y, w, window_strides=(factor, factor), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
