@@ -57,6 +57,20 @@ def activations(images: np.ndarray, feature_fn: Callable,
     return np.concatenate(out)
 
 
+def inception_score(probs: np.ndarray, splits: int = 10) -> tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))) over splits; (mean, std).
+    Reference pipeline: ``deps/score_sde_pytorch/evaluation.py`` /
+    ``run_lib.py:175-407`` report IS next to FID."""
+    probs = np.asarray(probs, np.float64)
+    scores = []
+    for part in np.array_split(probs, splits):
+        py = part.mean(axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-16) - np.log(py + 1e-16)),
+                    axis=1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
 def fid_from_samples(images: np.ndarray, stats_path: str,
                      feature_fn: Callable | None = None,
                      value_range=(-1.0, 1.0)) -> float:

@@ -154,6 +154,7 @@ class InceptionE(nn.Module):
 class FIDInceptionV3(nn.Module):
     resize_input: bool = True
     normalize_input: bool = True
+    with_logits: bool = False     # also return the 1008-way logits (for IS)
 
     @nn.compact
     def __call__(self, x):
@@ -182,7 +183,11 @@ class FIDInceptionV3(nn.Module):
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE("avg", name="Mixed_7b")(x)
         x = InceptionE("max", name="Mixed_7c")(x)
-        return x.mean(axis=(1, 2))   # global average pool -> [N, 2048]
+        pool = x.mean(axis=(1, 2))   # global average pool -> [N, 2048]
+        if self.with_logits:
+            logits = nn.Dense(1008, name="fc")(pool)
+            return pool, logits
+        return pool
 
 
 def load_fid_inception_params(pth_path: str, template=None):

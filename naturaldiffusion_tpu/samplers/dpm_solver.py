@@ -33,17 +33,23 @@ class NoiseScheduleVP:
     """lambda = log(alpha) - log(sigma) machinery
     (reference ``deps/dpm_solver_pytorch.py:6-167``).
 
-    ``schedule``: 'linear' (continuous closed form) or 'discrete' (piecewise-
-    linear interpolation of a trained log-alpha table)."""
+    ``schedule``: 'linear' / 'cosine' (continuous closed forms) or 'discrete'
+    (piecewise-linear interpolation of a trained log-alpha table)."""
 
     schedule: str = "linear"
     beta_0: float = 0.1
     beta_1: float = 20.0
+    cosine_s: float = 0.008            # cosine-schedule shift
     # discrete mode tables (ascending t in [1/N, 1])
     t_array: tuple = ()
     log_alpha_array: tuple = ()
     total_N: int = 1000
     T: float = 1.0
+
+    def __post_init__(self):
+        if self.schedule == "cosine":
+            # the cosine schedule saturates; cap T as the reference does
+            object.__setattr__(self, "T", 0.9946)
 
     @classmethod
     def discrete(cls, betas=None, alphas_cumprod=None) -> "NoiseScheduleVP":
@@ -59,6 +65,11 @@ class NoiseScheduleVP:
         if self.schedule == "linear":
             return (-0.25 * t ** 2 * (self.beta_1 - self.beta_0)
                     - 0.5 * t * self.beta_0)
+        if self.schedule == "cosine":
+            s = self.cosine_s
+            log_a0 = math.log(math.cos(s / (1.0 + s) * math.pi / 2.0))
+            return jnp.log(jnp.cos((t + s) / (1.0 + s)
+                                   * math.pi / 2.0)) - log_a0
         return jnp.interp(t, jnp.asarray(self.t_array),
                           jnp.asarray(self.log_alpha_array))
 
@@ -79,6 +90,14 @@ class NoiseScheduleVP:
             delta = self.beta_0 ** 2 + tmp
             return tmp / (jnp.sqrt(delta) + self.beta_0) \
                 / (self.beta_1 - self.beta_0)
+        if self.schedule == "cosine":
+            s = self.cosine_s
+            log_a0 = math.log(math.cos(s / (1.0 + s) * math.pi / 2.0))
+            # lambda -> log_alpha: la = -0.5 * log(exp(-2 lam) + 1)
+            la = -0.5 * jnp.logaddexp(-2.0 * lam, 0.0)
+            t = (jnp.arccos(jnp.exp(la + log_a0)) * 2.0 * (1.0 + s)
+                 / math.pi - s)
+            return t
         # discrete: interpolate t as a function of lambda (ascending lambda)
         la = jnp.asarray(self.log_alpha_array)
         lams = la - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * la))
