@@ -1,0 +1,164 @@
+"""CIFAR-10 sampler sweeps — the reference's FID grid drivers
+(``deis_sampling_tx`` ``src/CIFAR10NaturalInference.py:122-238`` and
+``dpm_solver_tx`` ``:331-412``) as one CLI.
+
+Grids (identical to the reference, whose best rows are frozen in
+``results/FID/*.csv``):
+
+* deis: ts_phase in {t, rho} x method in {t_ab, rho_ab, rho_rk, ipndm} x
+  ab_order in {1,2,3}
+* dpmsolver / dpmsolver++: method in {singlestep, multistep} x order {1,2,3}
+
+Each cell samples ``--num`` images through the jitted sampler and (with
+``--fid-stats`` + Inception weights) records FID; without stats it records
+throughput, so the sweep doubles as a perf matrix.  Output: one CSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ncsnpp import NCSNpp, CIFAR10_DDPMPP_CONTINUOUS
+from ..schedules import LinearVPSDE
+from ..samplers import deis as deis_mod
+from ..samplers.dpm_solver import NoiseScheduleVP, DPMSolver, model_wrapper
+
+
+def _model(args):
+    model = NCSNpp(config=CIFAR10_DDPMPP_CONTINUOUS)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)), jnp.zeros(1))["params"]
+    if args.ckpt:
+        from ..models.convert import fill_from_torch, load_torch_checkpoint
+        params, _ = fill_from_torch(params,
+                                    load_torch_checkpoint(args.ckpt))
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    def raw(x, t_cont):
+        # continuous VP label convention: t * 999
+        return model.apply({"params": params}, x.astype(jnp.bfloat16),
+                           t_cont * 999.0).astype(jnp.float32)
+
+    return raw
+
+
+def _sample_cells(args, cells, build_sampler):
+    rows = []
+    for cell in cells:
+        sampler = jax.jit(build_sampler(cell))
+        key = jax.random.PRNGKey(args.seed)
+        imgs, t0 = [], None
+        done = 0
+        while done < args.num:
+            b = min(args.batch, args.num - done)
+            key, sub = jax.random.split(key)
+            x = jax.random.normal(sub, (b, 32, 32, 3), jnp.float32)
+            out = sampler(x)
+            out.block_until_ready()
+            if t0 is None:          # exclude compile from throughput
+                t0 = time.time()
+                first = done
+            imgs.append(np.asarray(out, np.float32))
+            done += b
+        rate = (done - first) / max(time.time() - t0, 1e-9) \
+            if done > first else float("nan")
+        imgs = np.concatenate(imgs)
+        row = dict(cell)
+        row["img_per_sec"] = round(rate, 2)
+        row["finite"] = bool(np.isfinite(imgs).all())
+        if args.fid_stats:
+            from ..eval.fid import fid_from_samples
+            row["fid"] = round(fid_from_samples(imgs, args.fid_stats), 3)
+        rows.append(row)
+        print(row)
+    return rows
+
+
+def sweep_deis(args):
+    raw = _model(args)
+    sde = LinearVPSDE()
+
+    def eps_fn(x, t):
+        return raw(x, jnp.broadcast_to(jnp.asarray(t, jnp.float32),
+                                       (x.shape[0],)))
+
+    cells = []
+    for ts_phase in ("t", "rho"):
+        for method in ("t_ab", "rho_ab", "rho_rk", "ipndm"):
+            if method == "ipndm" and ts_phase != "t":
+                continue
+            for order in (1, 2, 3):
+                if method == "rho_rk" and order != 3:
+                    continue   # rk grid keyed by tableau, not ab_order
+                cells.append({"ts_phase": ts_phase, "method": method,
+                              "ab_order": order})
+
+    def build(cell):
+        if cell["method"] == "ipndm":
+            return deis_mod.get_sampler_ipndm(sde, eps_fn, args.steps)
+        return deis_mod.get_sampler(
+            sde, eps_fn, cell["ts_phase"], 2.0, args.steps,
+            method=cell["method"], ab_order=cell["ab_order"],
+            rk_method="3kutta")
+
+    return _sample_cells(args, cells, build)
+
+
+def sweep_dpmsolver(args, algorithm: str):
+    raw = _model(args)
+    ns = NoiseScheduleVP(schedule="linear")
+    model_fn = model_wrapper(raw, ns, model_type="noise")
+    solver = DPMSolver(model_fn, ns, algorithm_type=algorithm)
+
+    cells = [{"method": m, "order": o}
+             for m in ("singlestep", "multistep") for o in (1, 2, 3)
+             if not (m == "multistep" and o > args.steps)]
+
+    def build(cell):
+        return lambda x: solver.sample(
+            x, steps=args.steps, order=cell["order"],
+            method=cell["method"], t_end=1e-3)
+
+    return _sample_cells(args, cells, build)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", choices=("deis", "dpmsolver", "dpmsolverpp"),
+                   required=True)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--num", type=int, default=512)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--seed", type=int, default=888)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--fid-stats", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    if args.family == "deis":
+        rows = sweep_deis(args)
+    else:
+        rows = sweep_dpmsolver(
+            args, "dpmsolver" if args.family == "dpmsolver"
+            else "dpmsolver++")
+
+    out = args.out or f"results/FID/{args.family}_{args.steps}step_sweep.csv"
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    with open(out, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"-> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,9 +11,10 @@ On TPU this maps onto ONE ``lax.conv_general_dilated``:
 ``lhs_dilation`` implements the zero-stuffing, ``padding`` the (possibly
 negative) pads, ``window_strides`` the down-sampling, and
 ``feature_group_count=C`` makes the FIR depthwise.  XLA lowers dilated
-depthwise convs onto the MXU/VPU with fusion — this is the speed-of-light
-path for the 2x FIR resampling NCSN++ uses; a hand-written Pallas kernel is
-kept as an optional specialization in :mod:`.upfirdn2d_pallas`.
+depthwise convs onto the MXU/VPU with fusion, so — unlike the CUDA
+situation the reference kernel was written for — a hand-scheduled kernel
+has nothing left to win here; the Pallas budget goes to the weighted-sum
+ring buffer instead (``ops/weighted_sum.py``).
 
 Layout note: the whole framework is NHWC (TPU-native); the reference is NCHW.
 """

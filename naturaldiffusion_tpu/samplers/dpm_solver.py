@@ -83,6 +83,40 @@ class NoiseScheduleVP:
         la = self.marginal_log_mean_coeff(t)
         return la - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * la))
 
+    # numpy twins for host-side grid planning (inside jit, even constant jnp
+    # ops become tracers under jax's stackless tracing)
+    def marginal_lambda_np(self, t):
+        t = np.asarray(t, np.float64)
+        if self.schedule == "linear":
+            la = -0.25 * t ** 2 * (self.beta_1 - self.beta_0) \
+                - 0.5 * t * self.beta_0
+        elif self.schedule == "cosine":
+            s = self.cosine_s
+            la = np.log(np.cos((t + s) / (1.0 + s) * np.pi / 2.0)) \
+                - math.log(math.cos(s / (1.0 + s) * math.pi / 2.0))
+        else:
+            la = np.interp(t, np.asarray(self.t_array),
+                           np.asarray(self.log_alpha_array))
+        return la - 0.5 * np.log(1.0 - np.exp(2.0 * la))
+
+    def inverse_lambda_np(self, lam):
+        lam = np.asarray(lam, np.float64)
+        if self.schedule == "linear":
+            tmp = (2.0 * (self.beta_1 - self.beta_0)
+                   * np.logaddexp(-2.0 * lam, 0.0))
+            delta = self.beta_0 ** 2 + tmp
+            return tmp / (np.sqrt(delta) + self.beta_0) \
+                / (self.beta_1 - self.beta_0)
+        if self.schedule == "cosine":
+            s = self.cosine_s
+            log_a0 = math.log(math.cos(s / (1.0 + s) * math.pi / 2.0))
+            la = -0.5 * np.logaddexp(-2.0 * lam, 0.0)
+            return np.arccos(np.exp(la + log_a0)) * 2.0 * (1.0 + s) \
+                / np.pi - s
+        la = np.asarray(self.log_alpha_array)
+        lams = la - 0.5 * np.log(1.0 - np.exp(2.0 * la))
+        return np.interp(lam, lams[::-1], np.asarray(self.t_array)[::-1])
+
     def inverse_lambda(self, lam):
         if self.schedule == "linear":
             tmp = (2.0 * (self.beta_1 - self.beta_0)
@@ -230,10 +264,10 @@ class DPMSolver:
 
     def get_time_steps(self, skip_type, t_T, t_0, N) -> np.ndarray:
         if skip_type == "logSNR":
-            lam_T = float(self.ns.marginal_lambda(jnp.asarray(t_T)))
-            lam_0 = float(self.ns.marginal_lambda(jnp.asarray(t_0)))
+            lam_T = float(self.ns.marginal_lambda_np(t_T))
+            lam_0 = float(self.ns.marginal_lambda_np(t_0))
             lams = np.linspace(lam_T, lam_0, N + 1)
-            return np.asarray(self.ns.inverse_lambda(jnp.asarray(lams)))
+            return self.ns.inverse_lambda_np(lams)
         if skip_type == "time_uniform":
             return np.linspace(t_T, t_0, N + 1)
         if skip_type == "time_quadratic":
@@ -549,8 +583,7 @@ class DPMSolver:
             for i, od in enumerate(orders):
                 s_i, t_i = float(ts_outer[i]), float(ts_outer[i + 1])
                 ts_inner = self.get_time_steps(skip_type, s_i, t_i, od)
-                lam = np.asarray(self.ns.marginal_lambda(
-                    jnp.asarray(ts_inner)))
+                lam = self.ns.marginal_lambda_np(ts_inner)
                 h = lam[-1] - lam[0]
                 r1 = None if od <= 1 else float((lam[1] - lam[0]) / h)
                 r2 = None if od <= 2 else float((lam[2] - lam[0]) / h)
