@@ -1,0 +1,44 @@
+"""Config registry: every preset instantiates its model and matches its SDE."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naturaldiffusion_tpu.configs import CONFIGS, get_config
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_preset_model_instantiates(name):
+    cfg = get_config(name)
+    if cfg.data.image_size > 32:
+        pytest.skip("large-image preset (init too slow for unit tests)")
+    if cfg.model_family == "ncsnpp":
+        from naturaldiffusion_tpu.models.ncsnpp import NCSNpp
+        import dataclasses
+        # shrink for test speed, keep every structural switch
+        mcfg = dataclasses.replace(cfg.model, nf=16,
+                                   ch_mult=cfg.model.ch_mult[:2],
+                                   num_res_blocks=1)
+        model = NCSNpp(config=mcfg)
+        t = jnp.full((1,), 0.5 if cfg.training.continuous else 500.0)
+    else:
+        from naturaldiffusion_tpu.models.ddpm import DDPM
+        import dataclasses
+        mcfg = dataclasses.replace(cfg.model, nf=32,
+                                   ch_mult=cfg.model.ch_mult[:2],
+                                   num_res_blocks=1,
+                                   attn_resolutions=(16,))
+        model = DDPM(config=mcfg)
+        t = jnp.full((1,), 500.0)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_flagship_preset_values():
+    cfg = get_config("vp/cifar10_ddpmpp_continuous")
+    assert cfg.model.nf == 128 and cfg.model.ch_mult == (1, 2, 2, 2)
+    assert cfg.model.resblock_type == "biggan"
+    assert cfg.training.sde == "vpsde" and cfg.training.continuous
+    assert cfg.training.snapshot_freq_for_preemption == 10_000
