@@ -239,6 +239,69 @@ class LinearVPSDE:
         return -self.beta(t)
 
 
+@dataclasses.dataclass(frozen=True)
+class PiecewiseVPSDE:
+    """Discrete-alpha VP process fitted piecewise-linearly over integer
+    timesteps — the ``deps/th_deis/vpsde.py:105-124`` ``DiscreteVPSDE``:
+    time runs over [0, N-1] and ``alpha_bar(t)`` interpolates the trained
+    table (clipped to [1e-7, 1-1e-7]).  Duck-types ``LinearVPSDE``'s
+    DEIS-facing surface (t2alpha/alpha2t/t2rho/rho2t/d_log_alpha_bar_dt,
+    sampling_eps/T as the grid ends)."""
+
+    alphas_bar: tuple        # trained cumulative-alpha table, len N
+
+    @classmethod
+    def from_betas(cls, betas) -> "PiecewiseVPSDE":
+        return cls(tuple(np.cumprod(1.0 - np.asarray(betas, np.float64))))
+
+    @property
+    def _t(self):
+        return np.arange(len(self.alphas_bar), dtype=np.float64)
+
+    @property
+    def _ab(self):
+        return np.clip(np.asarray(self.alphas_bar), 1e-7, 1.0 - 1e-7)
+
+    # DEIS surface ----------------------------------------------------------
+    @property
+    def T(self) -> float:               # sampling_T
+        return float(len(self.alphas_bar) - 1)
+
+    @property
+    def sampling_eps(self) -> float:
+        return 0.0
+
+    def t2alpha(self, t):
+        return np.clip(np.interp(t, self._t, self._ab), 1e-7, 1.0 - 1e-7)
+
+    def alpha2t(self, alpha_bar):
+        # alpha decreasing in t: interp over (2 - alpha) ascending, as the
+        # reference does
+        return np.clip(np.interp(2.0 - np.asarray(alpha_bar),
+                                 2.0 - self._ab, self._t),
+                       self._t[0], self._t[-1])
+
+    def t2rho(self, t):
+        ab = self.t2alpha(t)
+        return np.sqrt((1.0 - ab) / ab)
+
+    def rho2t(self, rho):
+        return self.alpha2t(1.0 / (np.asarray(rho) ** 2 + 1.0))
+
+    def d_log_alpha_bar_dt(self, t):
+        """Piecewise-linear table derivative of log(alpha_bar)."""
+        log_ab = np.log(self._ab)
+        grads = np.gradient(log_ab, self._t)
+        return np.interp(t, self._t, grads)
+
+    def marginal_coeff(self, t):
+        ab = self.t2alpha(t)
+        return np.sqrt(ab), np.sqrt(1.0 - ab)
+
+    def log_alpha(self, t):
+        return 0.5 * np.log(self.t2alpha(t))
+
+
 # ---------------------------------------------------------------------------
 # Rectified flow
 # ---------------------------------------------------------------------------
