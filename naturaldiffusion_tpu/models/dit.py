@@ -59,19 +59,20 @@ def modulate(x, shift, scale):
 
 
 class Attention(nn.Module):
-    """timm-style multi-head attention (qkv_bias=True, no attn/proj drop)."""
+    """timm-style multi-head attention (qkv_bias=True, no attn/proj drop);
+    rides the Pallas flash kernel on TPU (``ops/attention.py``)."""
     num_heads: int
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.attention import mha
         b, t, d = x.shape
         h = self.num_heads
         qkv = nn.Dense(3 * d, use_bias=True, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, h, d // h), 3, axis=2)
         q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) / math.sqrt(d // h)
-        attn = jax.nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+        y = mha(q, k, v, backend=self.attn_backend)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, use_bias=True, name="proj")(y)
 

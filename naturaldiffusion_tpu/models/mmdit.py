@@ -105,13 +105,13 @@ class JointBlock(nn.Module):
             rms = nn.RMSNorm(epsilon=1e-6)
             q, k, cq, ck = rms(q), rms(k), rms(cq), rms(ck)
 
-        # joint attention over [latent; context] (diffusers order)
+        # joint attention over [latent; context] (diffusers order); falls
+        # back to the einsum pair off-TPU or at unaligned joint lengths
+        from ..ops.attention import mha
         q = jnp.concatenate([q, cq], axis=2)
         k = jnp.concatenate([k, ck], axis=2)
         v = jnp.concatenate([v, cv], axis=2)
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) / math.sqrt(hd)
-        attn = jax.nn.softmax(attn, axis=-1)
-        o = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+        o = mha(q, k, v)
         b, _, t_all, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, t_all, d)
         t_x = x.shape[1]
