@@ -22,10 +22,8 @@ parity runs when HF weights are provided.)
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .dit import get_2d_sincos_pos_embed, timestep_embedding

@@ -16,7 +16,6 @@ semantics, and the parity test patches the reference identically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import flax.linen as nn
 import jax
