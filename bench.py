@@ -71,19 +71,23 @@ def main():
                            z.astype(jnp.bfloat16),
                            jnp.full((z.shape[0],), t, jnp.float32))
 
+    # the jitted executable reduces to a checksum so timing forces full
+    # execution + a scalar host transfer — block_until_ready alone does not
+    # reliably synchronize through the TPU tunnel
     run = jax.jit(lambda z, k: natural_inference(
         score_as_x0, sched, z, key=k, prediction_type="eps",
         model_dtype=jnp.bfloat16))
+    run_sum = jax.jit(lambda z, k: jnp.float32(run(z, k).sum()))
 
     k = jax.random.PRNGKey(2)
-    out = run(x0, k)
-    out.block_until_ready()                    # compile + warm
+    out = run(x0, k)                            # full output for finiteness
+    _ = float(run_sum(x0, k))                   # compile + warm
     # per-iteration timing, median of 5 (the tunnel adds noisy RPC latency)
     times = []
     for i in range(5):
+        ki = jax.random.fold_in(k, i)
         t0_ = time.time()
-        out = run(x0, jax.random.fold_in(k, i))
-        out.block_until_ready()
+        _ = float(run_sum(x0, ki))
         times.append(time.time() - t0_)
     dt = sorted(times)[len(times) // 2]
     img_per_sec = BATCH / dt
