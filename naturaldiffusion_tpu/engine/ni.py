@@ -84,6 +84,7 @@ def natural_inference(
     model_dtype=None,
     weighted_sum_fn=weighted_sum_xla,
     unroll: bool | None = None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Run Natural Inference; returns the final state ``z`` (decoded sample).
 
@@ -118,8 +119,14 @@ def natural_inference(
     z0 = init_noise.astype(acc)            # x at node 0 IS the prior sample
     eps_cols = buf_eps.shape[0]
 
+    if use_pallas:
+        unroll = False          # the kernel is the scan path's inner op
     if unroll is None:
         unroll = n <= 32
+    if use_pallas is None:
+        # the fused ring-buffer kernel reads only the live lower-triangular
+        # prefix: 3-4x over the XLA scan at n>=100 on v5e
+        use_pallas = (not unroll) and jax.devices()[0].platform == "tpu"
     if unroll:
         z = z0
         seq_x0: list = []
@@ -135,6 +142,10 @@ def natural_inference(
                            for j in range(min(eps_cols, k + 2)))
             z = next_x0 + next_eps
         return z
+
+    if use_pallas:
+        return _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols,
+                            prediction_type, acc, model_dtype)
 
     buf_x0 = jnp.zeros((n,) + shape, dtype=acc)
 
@@ -154,6 +165,55 @@ def natural_inference(
           sched.node[:n, 0])
     (z, _), _ = jax.lax.scan(step, (z0, buf_x0), xs)
     return z
+
+
+def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
+                 acc, model_dtype):
+    """Scan variant whose per-step dual weighted sum is the fused Pallas
+    ring-buffer kernel (SURVEY.md §7 / BASELINE.json north star): one VMEM
+    pass over both buffers, whole zero-weight row chunks skipped, so only the
+    live lower-triangular prefix is read."""
+    from ..ops.weighted_sum import (fused_weighted_sum_pallas, pad_rows,
+                                    pad_lanes)
+
+    n = sched.num_step
+    shape = z0.shape
+    m = int(np.prod(shape))
+    m_pad = pad_lanes(m)
+    npad = pad_rows(n)
+    epad = pad_rows(eps_cols)
+
+    def flat_pad(a, rows):
+        a = a.reshape(a.shape[0], -1).astype(jnp.float32)
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, m_pad - m)))
+
+    tile = next(t for t in (512, 256, 128) if m_pad % t == 0)
+    interpret = jax.devices()[0].platform != "tpu"   # CPU tests
+
+    bufe = flat_pad(buf_eps, epad)
+    bufx = jnp.zeros((npad, m_pad), jnp.float32)
+    w_x0 = jnp.pad(sched.x0.astype(jnp.float32), ((0, 0), (0, npad - n)))
+    w_eps = jnp.pad(sched.eps.astype(jnp.float32),
+                    ((0, 0), (0, epad - (n + 1))))
+
+    def step(carry, inp):
+        z, bufx = carry
+        k, wx, we, t = inp
+        z_img = z[:m].reshape(shape)            # drop the lane padding
+        pred = denoise_fn(z_img.astype(model_dtype), t)
+        x0 = to_x0(pred, z_img, sched.node[k, 1],
+                   sched.node[k, 2], prediction_type, accum_dtype=acc)
+        x0 = jnp.pad(x0.reshape(-1).astype(jnp.float32), (0, m_pad - m))
+        bufx = jax.lax.dynamic_update_index_in_dim(bufx, x0, k, axis=0)
+        z_next = fused_weighted_sum_pallas(
+            wx, we, bufx, bufe, k + 1, jnp.minimum(eps_cols, k + 2),
+            tile=tile, interpret=interpret)
+        return (z_next, bufx), None
+
+    z0f = jnp.pad(z0.reshape(-1).astype(jnp.float32), (0, m_pad - m))
+    xs = (jnp.arange(n), w_x0, w_eps, sched.node[:n, 0])
+    (z, _), _ = jax.lax.scan(step, (z0f, bufx), xs)
+    return z[:m].reshape(shape).astype(acc)
 
 
 def natural_inference_reference(

@@ -162,3 +162,21 @@ def test_cfg_split_channels():
     # guided channels: u + 3(c-u) = x + 3; passthrough: conditional = x + 1
     np.testing.assert_allclose(np.asarray(out[:, :4]), np.asarray(x[:, :4]) + 3.0)
     np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(x[:, 4:]) + 1.0)
+
+
+def test_pallas_scan_path_matches(init):
+    """The fused Pallas ring-buffer scan (interpret mode on CPU) must match
+    both the plain scan and the unrolled path."""
+    n = 12
+    m = registry.derive("ddpm", n)
+    sched = NISchedule.from_matrix(m)
+    x32 = jnp.asarray(init, jnp.float32)
+    noises = jnp.asarray(
+        np.random.default_rng(9).standard_normal((n,) + SHAPE), jnp.float32)
+    kw = dict(noises=noises, prediction_type="x0")
+    a = natural_inference(toy_x0_fn, sched, x32, unroll=False,
+                          use_pallas=False, **kw)
+    b = natural_inference(toy_x0_fn, sched, x32, use_pallas=True, **kw)
+    c = natural_inference(toy_x0_fn, sched, x32, unroll=True, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
