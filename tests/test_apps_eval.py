@@ -87,3 +87,27 @@ def test_avg_pool_nocount_matches_manual():
     # center (1,1): full 3x3 window
     np.testing.assert_allclose(y[0, 1, 1, 0],
                                np.arange(16).reshape(4, 4)[:3, :3].mean())
+
+
+def test_profiling_harness():
+    import jax.numpy as jnp
+    from naturaldiffusion_tpu.utils.profiling import Timer, NFECounter
+    from naturaldiffusion_tpu.samplers import direct
+
+    t = Timer(iters=3)(lambda x: x * 2.0, jnp.ones((8, 8)))
+    assert t > 0 and len(Timer(iters=3).times) == 0
+
+    # unrolled NI: one call site per step -> true NFE
+    from naturaldiffusion_tpu.coeffs import registry
+    from naturaldiffusion_tpu.engine import NISchedule, natural_inference
+    counted = NFECounter(lambda x, tt: jnp.tanh(x) * 0.5)
+    sched = NISchedule.from_matrix(registry.derive("ddim", 7))
+    import jax
+    jax.jit(lambda z: natural_inference(counted, sched, z,
+                                        prediction_type="x0",
+                                        unroll=True))(jnp.ones((2, 4)))
+    assert counted.nfe == 7
+    # scan-based loops trace the body once
+    counted.reset()
+    jax.jit(lambda z: direct.ddim(counted, 7, z))(jnp.ones((2, 4)))
+    assert counted.nfe == 1
