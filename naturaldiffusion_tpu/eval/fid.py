@@ -49,11 +49,34 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 
 def activations(images: np.ndarray, feature_fn: Callable,
-                batch_size: int = 256) -> np.ndarray:
-    """[N, H, W, C] in [0, 1] -> [N, D] features, batched."""
+                batch_size: int = 256, mesh=None) -> np.ndarray:
+    """[N, H, W, C] in [0, 1] -> [N, D] features, batched.
+
+    With ``mesh`` the batch is sharded over the ``data`` axis — the
+    reference's ``run_inception_distributed``
+    (``deps/score_sde_pytorch/evaluation.py:108-146``) on XLA collectives
+    instead of TF device loops."""
+    if mesh is not None:
+        from ..parallel import batch_sharding
+        import jax
+        ndev = mesh.devices.size
+        batch_size = max(batch_size // ndev * ndev, ndev)
+
+        def put(x):
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+    else:
+        def put(x):
+            return x
+
     out = []
     for i in range(0, len(images), batch_size):
-        out.append(np.asarray(feature_fn(images[i:i + batch_size])))
+        chunk = images[i:i + batch_size]
+        if mesh is not None and len(chunk) % mesh.devices.size:
+            pad = -len(chunk) % mesh.devices.size
+            chunk = np.concatenate([chunk, chunk[:pad]])
+            out.append(np.asarray(feature_fn(put(chunk)))[:len(chunk) - pad])
+        else:
+            out.append(np.asarray(feature_fn(put(chunk))))
     return np.concatenate(out)
 
 

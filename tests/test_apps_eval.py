@@ -111,3 +111,21 @@ def test_profiling_harness():
     counted.reset()
     jax.jit(lambda z: direct.ddim(counted, 7, z))(jnp.ones((2, 4)))
     assert counted.nfe == 1
+
+
+def test_activations_sharded_matches_unsharded():
+    import jax
+    import jax.numpy as jnp
+    from naturaldiffusion_tpu.eval.fid import activations
+    from naturaldiffusion_tpu.parallel import make_mesh
+
+    @jax.jit
+    def feature_fn(x):
+        return jnp.stack([x.sum(axis=(1, 2, 3)), x.max(axis=(1, 2, 3))], -1)
+
+    imgs = np.random.default_rng(0).random((37, 8, 8, 3)).astype(np.float32)
+    plain = activations(imgs, feature_fn, batch_size=16)
+    mesh = make_mesh({"data": 8})
+    sharded = activations(imgs, feature_fn, batch_size=16, mesh=mesh)
+    assert sharded.shape == plain.shape == (37, 2)
+    np.testing.assert_allclose(sharded, plain, atol=1e-6)
