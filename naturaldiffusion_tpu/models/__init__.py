@@ -8,7 +8,7 @@
 
 from .ncsnpp import NCSNpp, NCSNppConfig, CIFAR10_DDPMPP_CONTINUOUS
 from .ddpm import DDPM, DDPMConfig
-from .ncsnv2 import NCSNv2, NCSNv2Config
+from .ncsnv2 import NCSNv2, NCSNv2_128, NCSNv2_256, NCSNv2Config
 from .dit import DiT, DiTConfig, DIT_CONFIGS, forward_with_cfg
 from .mmdit import MMDiT, MMDiTConfig, SD3_MEDIUM
 from .vae import AutoencoderKL, VAEConfig, SD_VAE, SD3_VAE
@@ -18,6 +18,8 @@ _MODELS = {
     "ncsnpp": (NCSNpp, NCSNppConfig),
     "ddpm": (DDPM, DDPMConfig),
     "ncsnv2_64": (NCSNv2, NCSNv2Config),
+    "ncsnv2_128": (NCSNv2_128, NCSNv2Config),
+    "ncsnv2_256": (NCSNv2_256, NCSNv2Config),
     "dit": (DiT, DiTConfig),
     "mmdit": (MMDiT, MMDiTConfig),
     "vae": (AutoencoderKL, VAEConfig),
@@ -43,7 +45,8 @@ def create_model(name: str, config=None, **config_kwargs):
 
 __all__ = [
     "NCSNpp", "NCSNppConfig", "CIFAR10_DDPMPP_CONTINUOUS",
-    "DDPM", "DDPMConfig", "NCSNv2", "NCSNv2Config",
+    "DDPM", "DDPMConfig", "NCSNv2", "NCSNv2_128", "NCSNv2_256",
+    "NCSNv2Config",
     "DiT", "DiTConfig", "DIT_CONFIGS", "forward_with_cfg",
     "MMDiT", "MMDiTConfig", "SD3_MEDIUM",
     "AutoencoderKL", "VAEConfig", "SD_VAE", "SD3_VAE",

@@ -300,3 +300,110 @@ def ncsnv2_torch_path_map(path: tuple[str, ...]) -> str:
         else:
             parts.append(seg)
     return ".".join(parts)
+
+
+class NCSNv2_128(nn.Module):
+    """the 96-128px variant (``ncsnv2.py:220-307``): five levels, channel
+    mults (1, 2, 2, 4, 4), dilations kick in at level 4."""
+    config: NCSNv2Config
+
+    @nn.compact
+    def __call__(self, x, labels):
+        cfg = self.config
+        act = nn.elu
+        nf = cfg.nf
+
+        h = x if cfg.centered else 2 * x - 1.0
+        out = nn.Conv(nf, (3, 3), padding=((1, 1), (1, 1)),
+                      name="begin_conv")(h)
+
+        l1 = ResidualBlock(nf, name="res1_0")(out)
+        l1 = ResidualBlock(nf, name="res1_1")(l1)
+        l2 = ResidualBlock(2 * nf, resample="down", name="res2_0")(l1)
+        l2 = ResidualBlock(2 * nf, name="res2_1")(l2)
+        l3 = ResidualBlock(2 * nf, resample="down", name="res3_0")(l2)
+        l3 = ResidualBlock(2 * nf, name="res3_1")(l3)
+        l4 = ResidualBlock(4 * nf, resample="down", dilation=2,
+                           name="res4_0")(l3)
+        l4 = ResidualBlock(4 * nf, dilation=2, name="res4_1")(l4)
+        l5 = ResidualBlock(4 * nf, resample="down", dilation=4,
+                           name="res5_0")(l4)
+        l5 = ResidualBlock(4 * nf, dilation=4, name="res5_1")(l5)
+
+        r1 = RefineBlock(4 * nf, 1, start=True, name="refine1")(
+            [l5], l5.shape[1:3])
+        r2 = RefineBlock(2 * nf, 2, name="refine2")([l4, r1], l4.shape[1:3])
+        r3 = RefineBlock(2 * nf, 2, name="refine3")([l3, r2], l3.shape[1:3])
+        r4 = RefineBlock(nf, 2, name="refine4")([l2, r3], l2.shape[1:3])
+        out = RefineBlock(nf, 2, end=True, name="refine5")(
+            [l1, r4], l1.shape[1:3])
+
+        out = InstanceNormPlus(name="normalizer")(out)
+        out = nn.Conv(cfg.num_channels, (3, 3), padding=((1, 1), (1, 1)),
+                      name="end_conv")(act(out))
+        sigmas = jnp.exp(jnp.linspace(np.log(cfg.sigma_max),
+                                      np.log(cfg.sigma_min),
+                                      cfg.num_scales))
+        used = sigmas[labels.astype(jnp.int32)]
+        return out / used.reshape(-1, 1, 1, 1)
+
+
+class NCSNv2_256(nn.Module):
+    """the 128-256px variant (``ncsnv2.py:310-411``): six levels (res31
+    inserted) and the matching refine31 fusion order."""
+    config: NCSNv2Config
+
+    @nn.compact
+    def __call__(self, x, labels):
+        cfg = self.config
+        act = nn.elu
+        nf = cfg.nf
+
+        h = x if cfg.centered else 2 * x - 1.0
+        out = nn.Conv(nf, (3, 3), padding=((1, 1), (1, 1)),
+                      name="begin_conv")(h)
+
+        l1 = ResidualBlock(nf, name="res1_0")(out)
+        l1 = ResidualBlock(nf, name="res1_1")(l1)
+        l2 = ResidualBlock(2 * nf, resample="down", name="res2_0")(l1)
+        l2 = ResidualBlock(2 * nf, name="res2_1")(l2)
+        l3 = ResidualBlock(2 * nf, resample="down", name="res3_0")(l2)
+        l3 = ResidualBlock(2 * nf, name="res3_1")(l3)
+        l31 = ResidualBlock(2 * nf, resample="down", name="res31_0")(l3)
+        l31 = ResidualBlock(2 * nf, name="res31_1")(l31)
+        l4 = ResidualBlock(4 * nf, resample="down", dilation=2,
+                           name="res4_0")(l31)
+        l4 = ResidualBlock(4 * nf, dilation=2, name="res4_1")(l4)
+        l5 = ResidualBlock(4 * nf, resample="down", dilation=4,
+                           name="res5_0")(l4)
+        l5 = ResidualBlock(4 * nf, dilation=4, name="res5_1")(l5)
+
+        r1 = RefineBlock(4 * nf, 1, start=True, name="refine1")(
+            [l5], l5.shape[1:3])
+        r2 = RefineBlock(2 * nf, 2, name="refine2")([l4, r1], l4.shape[1:3])
+        r31 = RefineBlock(2 * nf, 2, name="refine31")([l31, r2],
+                                                      l31.shape[1:3])
+        r3 = RefineBlock(2 * nf, 2, name="refine3")([l3, r31], l3.shape[1:3])
+        r4 = RefineBlock(nf, 2, name="refine4")([l2, r3], l2.shape[1:3])
+        out = RefineBlock(nf, 2, end=True, name="refine5")(
+            [l1, r4], l1.shape[1:3])
+
+        out = InstanceNormPlus(name="normalizer")(out)
+        out = nn.Conv(cfg.num_channels, (3, 3), padding=((1, 1), (1, 1)),
+                      name="end_conv")(act(out))
+        sigmas = jnp.exp(jnp.linspace(np.log(cfg.sigma_max),
+                                      np.log(cfg.sigma_min),
+                                      cfg.num_scales))
+        used = sigmas[labels.astype(jnp.int32)]
+        return out / used.reshape(-1, 1, 1, 1)
+
+
+def get_network(image_size: int):
+    """Size dispatch (reference ``ncsnv2.py:31-40``)."""
+    if image_size < 96:
+        return NCSNv2
+    if image_size <= 128:
+        return NCSNv2_128
+    if image_size <= 256:
+        return NCSNv2_256
+    raise NotImplementedError(image_size)

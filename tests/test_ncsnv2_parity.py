@@ -51,8 +51,8 @@ def _build_reference(nf: int):
     if "models.ncsnv2" in sys.modules:
         del sys.modules["models.ncsnv2"]
     import models.utils as mutils
-    mutils._MODELS.pop("ncsnv2_64", None)
-    mutils._MODELS.pop("ncsn", None)
+    for name in ("ncsnv2_64", "ncsnv2_128", "ncsnv2_256", "ncsn"):
+        mutils._MODELS.pop(name, None)
     from models import ncsnv2 as ref_ncsnv2
     ref_ncsnv2.conv3x3 = ncsn_conv3x3
 
@@ -93,3 +93,58 @@ def test_ncsnv2_forward_parity():
     got = np.asarray(got).transpose(0, 3, 1, 2)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def _build_reference_variant(cls_name: str, nf: int, image_size: int):
+    # reuse the patched loader from _build_reference by importing it first
+    _build_reference(nf=nf)
+    import models.ncsnv2 as ref_ncsnv2
+    from types import SimpleNamespace as NS
+    config = NS(model=NS(nf=nf, num_scales=16, sigma_min=0.01, sigma_max=50,
+                         nonlinearity="elu", normalization="InstanceNorm++",
+                         ngf=nf),
+                data=NS(image_size=image_size, channels=3, num_channels=3,
+                        centered=False))
+    return getattr(ref_ncsnv2, cls_name)(config).eval()
+
+
+@pytest.mark.parametrize("cls_name,flax_name", [
+    ("NCSNv2_128", "NCSNv2_128"),
+    ("NCSNv2_256", "NCSNv2_256"),
+])
+def test_ncsnv2_large_variants_parity(cls_name, flax_name):
+    import jax
+    import jax.numpy as jnp
+    from naturaldiffusion_tpu.models import ncsnv2 as nd_ncsnv2
+    from naturaldiffusion_tpu.models.ncsnv2 import (NCSNv2Config,
+                                                    ncsnv2_torch_path_map)
+    from naturaldiffusion_tpu.models.convert import fill_from_torch
+
+    torch.manual_seed(0)
+    ref = _build_reference_variant(cls_name, nf=8, image_size=64)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 3, 64, 64)).astype(np.float32)
+    labels = np.asarray([5], np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(labels)).numpy()
+
+    model = getattr(nd_ncsnv2, flax_name)(
+        config=NCSNv2Config(nf=8, num_scales=16, image_size=64))
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), x_nhwc,
+                          jnp.asarray(labels))["params"]
+    params, unused = fill_from_torch(template, ref.state_dict(),
+                                     path_map=ncsnv2_torch_path_map)
+    assert unused == ["sigmas"], unused
+    got = np.asarray(model.apply({"params": params}, x_nhwc,
+                                 jnp.asarray(labels))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_get_network_dispatch():
+    from naturaldiffusion_tpu.models.ncsnv2 import (get_network, NCSNv2,
+                                                    NCSNv2_128, NCSNv2_256)
+    assert get_network(32) is NCSNv2
+    assert get_network(128) is NCSNv2_128
+    assert get_network(256) is NCSNv2_256
