@@ -16,6 +16,7 @@ import dataclasses
 
 from .models.ncsnpp import NCSNppConfig
 from .models.ddpm import DDPMConfig
+from .models.ncsnv2 import NCSNv2Config
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +115,28 @@ CONFIGS: dict[str, ExperimentConfig] = {
                        batch_size=64),
         _VE_SAMPLING,
         DataConfig(dataset="church", image_size=256)),
+    # reference configs/ve/celebahq_256_ncsnpp_continuous.py (sigma_max=348)
+    "ve/celebahq_256_ncsnpp_continuous": ExperimentConfig(
+        "ve/celebahq_256_ncsnpp_continuous", "ncsnpp",
+        _ncsnpp(image_size=256, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                num_res_blocks=2, attn_resolutions=(16,), fir=True,
+                embedding_type="fourier", scale_by_sigma=True),
+        TrainingConfig(sde="vesde", continuous=True, reduce_mean=False,
+                       batch_size=64),
+        _VE_SAMPLING,
+        DataConfig(dataset="celebahq", image_size=256)),
+    # reference configs/ve/cifar10_ddpm.py (DDPM backbone under VE)
+    "ve/cifar10_ddpm": ExperimentConfig(
+        "ve/cifar10_ddpm", "ddpm", DDPMConfig(scale_by_sigma=True),
+        TrainingConfig(sde="vesde", continuous=False, reduce_mean=False),
+        _VE_SAMPLING),
+    # reference configs/ve/ncsnv2/* (SMLD + ALD sampling)
+    "ve/ncsnv2/cifar10": ExperimentConfig(
+        "ve/ncsnv2/cifar10", "ncsnv2_64", NCSNv2Config(),
+        TrainingConfig(sde="vesde", continuous=False, reduce_mean=False,
+                       ema_rate=0.999),
+        SamplingConfig(predictor="none", corrector="ald", snr=0.176,
+                       n_steps_each=5)),
 }
 
 

@@ -81,6 +81,11 @@ class DDPMConfig:
     conditional: bool = True
     centered: bool = True
     scale_by_sigma: bool = False
+    # geometric sigma table for scale_by_sigma (reference get_sigmas,
+    # models/utils.py:50)
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    num_scales: int = 1000
 
 
 class DDPM(nn.Module):
@@ -160,8 +165,14 @@ class DDPM(nn.Module):
         h = conv3x3(cfg.num_channels, init_scale=0.0, name=f"m{idx()}")(h)
 
         if cfg.scale_by_sigma:
-            used = jnp.asarray(self.sigmas, x.dtype)[
-                labels.astype(jnp.int32)]
+            if self.sigmas:
+                sigmas = jnp.asarray(self.sigmas, x.dtype)
+            else:
+                import numpy as np
+                sigmas = jnp.exp(jnp.linspace(np.log(cfg.sigma_max),
+                                              np.log(cfg.sigma_min),
+                                              cfg.num_scales))
+            used = sigmas[labels.astype(jnp.int32)]
             h = h / used.reshape(-1, 1, 1, 1)
         return h
 

@@ -12,7 +12,12 @@ def test_preset_model_instantiates(name):
     cfg = get_config(name)
     if cfg.data.image_size > 32:
         pytest.skip("large-image preset (init too slow for unit tests)")
-    if cfg.model_family == "ncsnpp":
+    if cfg.model_family == "ncsnv2_64":
+        from naturaldiffusion_tpu.models.ncsnv2 import NCSNv2
+        import dataclasses
+        model = NCSNv2(config=dataclasses.replace(cfg.model, nf=16))
+        t = jnp.zeros((1,), jnp.int32)
+    elif cfg.model_family == "ncsnpp":
         from naturaldiffusion_tpu.models.ncsnpp import NCSNpp
         import dataclasses
         # shrink for test speed, keep every structural switch
