@@ -8,7 +8,8 @@
 
 from .ncsnpp import NCSNpp, NCSNppConfig, CIFAR10_DDPMPP_CONTINUOUS
 from .ddpm import DDPM, DDPMConfig
-from .ncsnv2 import NCSNv2, NCSNv2_128, NCSNv2_256, NCSNv2Config
+from .ncsnv2 import (NCSNv2, NCSNv2_128, NCSNv2_256, NCSN,
+                     NCSNv2Config)
 from .dit import DiT, DiTConfig, DIT_CONFIGS, forward_with_cfg
 from .mmdit import MMDiT, MMDiTConfig, SD3_MEDIUM
 from .vae import AutoencoderKL, VAEConfig, SD_VAE, SD3_VAE
@@ -20,6 +21,7 @@ _MODELS = {
     "ncsnv2_64": (NCSNv2, NCSNv2Config),
     "ncsnv2_128": (NCSNv2_128, NCSNv2Config),
     "ncsnv2_256": (NCSNv2_256, NCSNv2Config),
+    "ncsn": (NCSN, NCSNv2Config),
     "dit": (DiT, DiTConfig),
     "mmdit": (MMDiT, MMDiTConfig),
     "vae": (AutoencoderKL, VAEConfig),
@@ -45,7 +47,7 @@ def create_model(name: str, config=None, **config_kwargs):
 
 __all__ = [
     "NCSNpp", "NCSNppConfig", "CIFAR10_DDPMPP_CONTINUOUS",
-    "DDPM", "DDPMConfig", "NCSNv2", "NCSNv2_128", "NCSNv2_256",
+    "DDPM", "DDPMConfig", "NCSNv2", "NCSNv2_128", "NCSNv2_256", "NCSN",
     "NCSNv2Config",
     "DiT", "DiTConfig", "DIT_CONFIGS", "forward_with_cfg",
     "MMDiT", "MMDiTConfig", "SD3_MEDIUM",

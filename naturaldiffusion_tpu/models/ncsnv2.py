@@ -284,7 +284,8 @@ class NCSNv2(nn.Module):
 
 def ncsnv2_torch_path_map(path: tuple[str, ...]) -> str:
     """res1_0 -> res1.0; adapt_convs_0 -> adapt_convs.0; bI_J_conv ->
-    I_J_conv; convs_i -> convs.i; ConvMeanPool's inner 'conv' stays."""
+    I_J_conv (same for _norm); convs_i/norms_i -> convs.i/norms.i;
+    ConvMeanPool's inner 'conv' stays."""
     parts = []
     for seg in path:
         if seg.startswith("res") and "_" in seg:
@@ -294,8 +295,10 @@ def ncsnv2_torch_path_map(path: tuple[str, ...]) -> str:
             parts.extend(["adapt_convs", seg.rsplit("_", 1)[1]])
         elif seg.startswith("convs_"):
             parts.extend(["convs", seg.rsplit("_", 1)[1]])
-        elif seg.startswith("b") and seg.endswith("_conv") and \
-                seg[1].isdigit():
+        elif seg.startswith("norms_"):
+            parts.extend(["norms", seg.rsplit("_", 1)[1]])
+        elif seg.startswith("b") and seg[1].isdigit() and \
+                (seg.endswith("_conv") or seg.endswith("_norm")):
             parts.append(seg[1:])
         else:
             parts.append(seg)
@@ -407,3 +410,219 @@ def get_network(image_size: int):
     if image_size <= 256:
         return NCSNv2_256
     raise NotImplementedError(image_size)
+
+
+# -- conditional (NCSN v1) variants -------------------------------------------
+
+
+class CondInstanceNormPlus(nn.Module):
+    """Class-conditional InstanceNorm++ (``normalization.py:186-215``):
+    gamma/alpha(/beta) come from a per-class embedding table."""
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, y):
+        c = x.shape[-1]
+        n_out = (3 if self.bias else 2) * c
+        embed = nn.Embed(self.num_classes, n_out,
+                         embedding_init=nn.initializers.normal(0.02),
+                         name="embed")(y.astype(jnp.int32))
+        means = x.mean(axis=(1, 2))
+        m = means.mean(axis=-1, keepdims=True)
+        v = means.var(axis=-1, keepdims=True, ddof=1)
+        means_n = (means - m) / jnp.sqrt(v + 1e-5)
+        mu = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        h = (x - mu) / jnp.sqrt(var + 1e-5)
+        if self.bias:
+            gamma, alpha, beta = jnp.split(embed, 3, axis=-1)
+        else:
+            gamma, alpha = jnp.split(embed, 2, axis=-1)
+            beta = None
+        h = h + means_n[:, None, None, :] * alpha[:, None, None, :]
+        out = gamma[:, None, None, :] * h
+        if beta is not None:
+            out = out + beta[:, None, None, :]
+        return out
+
+
+class CondResidualBlock(nn.Module):
+    """(``layers.py:397-450``).  The reference's resample=None channel-change
+    shortcut is a latent bug (bare nn.Conv2d partial without kernel size,
+    'Something wierd here'); we use the 1x1 conv the unconditional block
+    uses — that path is never exercised by NCSN's configs."""
+    out_ch: int
+    num_classes: int
+    resample: str | None = None
+    dilation: int = 1
+    adjust_padding: bool = False
+
+    @nn.compact
+    def __call__(self, x, y):
+        act = nn.elu
+        in_ch = x.shape[-1]
+        norm = lambda name: CondInstanceNormPlus(self.num_classes, name=name)
+        h = act(norm("normalize1")(x, y))
+        if self.resample == "down":
+            if self.dilation > 1:
+                h = _conv3(in_ch, dilation=self.dilation, name="conv1")(h)
+                h = act(norm("normalize2")(h, y))
+                h = _conv3(self.out_ch, dilation=self.dilation,
+                           name="conv2")(h)
+                shortcut = _conv3(self.out_ch, dilation=self.dilation,
+                                  name="shortcut")(x)
+            else:
+                h = _conv3(in_ch, name="conv1")(h)
+                h = act(norm("normalize2")(h, y))
+                h = ConvMeanPool(self.out_ch,
+                                 adjust_padding=self.adjust_padding,
+                                 name="conv2")(h)
+                shortcut = ConvMeanPool(self.out_ch, kernel=1,
+                                        adjust_padding=self.adjust_padding,
+                                        name="shortcut")(x)
+        else:
+            if self.dilation > 1:
+                h = _conv3(self.out_ch, dilation=self.dilation,
+                           name="conv1")(h)
+                h = act(norm("normalize2")(h, y))
+                h = _conv3(self.out_ch, dilation=self.dilation,
+                           name="conv2")(h)
+                shortcut = x if in_ch == self.out_ch else _conv3(
+                    self.out_ch, dilation=self.dilation, name="shortcut")(x)
+            else:
+                h = _conv3(self.out_ch, name="conv1")(h)
+                h = act(norm("normalize2")(h, y))
+                h = _conv3(self.out_ch, name="conv2")(h)
+                shortcut = x if in_ch == self.out_ch else nn.Conv(
+                    self.out_ch, (1, 1), name="shortcut")(x)
+        return shortcut + h
+
+
+class CondCRPBlock(nn.Module):
+    """(``layers.py:157-180``) — note: AVG pool (the unconditional CRP uses
+    max), norm before pool."""
+    num_classes: int
+    n_stages: int = 2
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, x, y):
+        c = x.shape[-1]
+        x = getattr(nn, self.act)(x)
+        path = x
+        for i in range(self.n_stages):
+            path = CondInstanceNormPlus(self.num_classes,
+                                        name=f"norms_{i}")(path, y)
+            path = nn.avg_pool(path, (5, 5), (1, 1),
+                               padding=((2, 2), (2, 2)))
+            path = _conv3(c, bias=False, name=f"convs_{i}")(path)
+            x = path + x
+        return x
+
+
+class CondRCUBlock(nn.Module):
+    """(``layers.py:207-231``) — norm BEFORE act+conv each stage."""
+    n_blocks: int
+    num_classes: int
+    n_stages: int = 2
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, x, y):
+        c = x.shape[-1]
+        for i in range(self.n_blocks):
+            residual = x
+            for j in range(self.n_stages):
+                x = CondInstanceNormPlus(
+                    self.num_classes, name=f"b{i + 1}_{j + 1}_norm")(x, y)
+                x = getattr(nn, self.act)(x)
+                x = _conv3(c, bias=False, name=f"b{i + 1}_{j + 1}_conv")(x)
+            x = x + residual
+        return x
+
+
+class CondMSFBlock(nn.Module):
+    """(``layers.py:253-274``)."""
+    features: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, xs, y, shape):
+        total = jnp.zeros((xs[0].shape[0],) + tuple(shape)
+                          + (self.features,), xs[0].dtype)
+        for i, xi in enumerate(xs):
+            h = CondInstanceNormPlus(self.num_classes,
+                                     name=f"norms_{i}")(xi, y)
+            h = _conv3(self.features, name=f"convs_{i}")(h)
+            total = total + _bilinear_align_corners(h, shape)
+        return total
+
+
+class CondRefineBlock(nn.Module):
+    """(``layers.py:313-345``)."""
+    features: int
+    n_inputs: int
+    num_classes: int
+    start: bool = False
+    end: bool = False
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, xs, y, output_shape):
+        hs = [CondRCUBlock(2, self.num_classes, 2, act=self.act,
+                           name=f"adapt_convs_{i}")(x, y)
+              for i, x in enumerate(xs)]
+        h = CondMSFBlock(self.features, self.num_classes,
+                         name="msf")(hs, y, output_shape) \
+            if self.n_inputs > 1 else hs[0]
+        h = CondCRPBlock(self.num_classes, 2, act=self.act,
+                         name="crp")(h, y)
+        return CondRCUBlock(3 if self.end else 1, self.num_classes, 2,
+                            act=self.act, name="output_convs")(h, y)
+
+
+class NCSN(nn.Module):
+    """NCSN v1 (``ncsnv2.py:160-216``): the class-conditional RefineNet;
+    output is NOT divided by sigma (the v1 loss carries the scaling)."""
+    config: NCSNv2Config
+
+    @nn.compact
+    def __call__(self, x, labels):
+        cfg = self.config
+        act = nn.elu
+        nf = cfg.nf
+        nc = cfg.num_scales
+        adj = cfg.image_size == 28
+
+        h = x if cfg.centered else 2 * x - 1.0
+        out = nn.Conv(nf, (3, 3), padding=((1, 1), (1, 1)),
+                      name="begin_conv")(h)
+
+        l1 = CondResidualBlock(nf, nc, name="res1_0")(out, labels)
+        l1 = CondResidualBlock(nf, nc, name="res1_1")(l1, labels)
+        l2 = CondResidualBlock(2 * nf, nc, resample="down",
+                               name="res2_0")(l1, labels)
+        l2 = CondResidualBlock(2 * nf, nc, name="res2_1")(l2, labels)
+        l3 = CondResidualBlock(2 * nf, nc, resample="down", dilation=2,
+                               name="res3_0")(l2, labels)
+        l3 = CondResidualBlock(2 * nf, nc, dilation=2,
+                               name="res3_1")(l3, labels)
+        l4 = CondResidualBlock(2 * nf, nc, resample="down", dilation=4,
+                               adjust_padding=adj, name="res4_0")(l3, labels)
+        l4 = CondResidualBlock(2 * nf, nc, dilation=4,
+                               name="res4_1")(l4, labels)
+
+        r1 = CondRefineBlock(2 * nf, 1, nc, start=True, name="refine1")(
+            [l4], labels, l4.shape[1:3])
+        r2 = CondRefineBlock(2 * nf, 2, nc, name="refine2")(
+            [l3, r1], labels, l3.shape[1:3])
+        r3 = CondRefineBlock(nf, 2, nc, name="refine3")(
+            [l2, r2], labels, l2.shape[1:3])
+        out = CondRefineBlock(nf, 2, nc, end=True, name="refine4")(
+            [l1, r3], labels, l1.shape[1:3])
+
+        out = CondInstanceNormPlus(nc, name="normalizer")(out, labels)
+        out = act(out)
+        return nn.Conv(cfg.num_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       name="end_conv")(out)

@@ -148,3 +148,58 @@ def test_get_network_dispatch():
     assert get_network(32) is NCSNv2
     assert get_network(128) is NCSNv2_128
     assert get_network(256) is NCSNv2_256
+
+
+def test_ncsn_v1_conditional_parity():
+    """NCSN v1 (class-conditional normalization) forward parity."""
+    import jax
+    import jax.numpy as jnp
+    from naturaldiffusion_tpu.models.ncsnv2 import (NCSN, NCSNv2Config,
+                                                    ncsnv2_torch_path_map)
+    from naturaldiffusion_tpu.models.convert import fill_from_torch
+
+    torch.manual_seed(0)
+    _build_reference(nf=8)         # installs the patched conv + path
+    # third latent reference bug: ConditionalResidualBlock defaults
+    # dilation=None and then evaluates `dilation > 1` (layers.py:398,419)
+    import models.layers as ref_layers
+    if not getattr(ref_layers.ConditionalResidualBlock, "_nd_patch", False):
+        orig = ref_layers.ConditionalResidualBlock.__init__
+
+        def _init(self, *args, **kwargs):
+            if kwargs.get("dilation") is None:
+                kwargs["dilation"] = 1
+            orig(self, *args, **kwargs)
+
+        ref_layers.ConditionalResidualBlock.__init__ = _init
+        ref_layers.ConditionalResidualBlock._nd_patch = True
+    import models.ncsnv2 as ref_ncsnv2
+    # fourth latent bug: NCSN builds its normalizer via
+    # get_normalization(config) WITHOUT conditional=True (ncsnv2.py:166),
+    # handing the unconditional class to conditional call sites
+    ref_ncsnv2.get_normalization = lambda config, conditional=False: \
+        ref_layers.ConditionalInstanceNorm2dPlus
+    from types import SimpleNamespace as NS
+    config = NS(model=NS(nf=8, num_scales=16, sigma_min=0.01, sigma_max=50,
+                         nonlinearity="elu", normalization="InstanceNorm++",
+                         ngf=8),
+                data=NS(image_size=32, channels=3, num_channels=3,
+                        centered=False))
+    ref = ref_ncsnv2.NCSN(config).eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 3, 32, 32)).astype(np.float32)
+    labels = np.asarray([2, 13], np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(labels)).numpy()
+
+    model = NCSN(config=NCSNv2Config(nf=8, num_scales=16))
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), x_nhwc,
+                          jnp.asarray(labels))["params"]
+    params, unused = fill_from_torch(template, ref.state_dict(),
+                                     path_map=ncsnv2_torch_path_map)
+    assert unused == [], unused
+    got = np.asarray(model.apply({"params": params}, x_nhwc,
+                                 jnp.asarray(labels))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
