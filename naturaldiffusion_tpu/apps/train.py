@@ -55,6 +55,7 @@ class TrainConfig:
     snapshot_freq: int = 50_000
     preemption_freq: int = 10_000     # snapshot_freq_for_preemption
     sample_at_snapshot: bool = True
+    bpd: bool = False
     nf: int = 128
     ch_mult: tuple = (1, 2, 2, 2)
     num_res_blocks: int = 4
@@ -148,6 +149,23 @@ def evaluate(cfg: TrainConfig) -> None:
                                     jnp.asarray(images))))
     print(f"eval loss (EMA, {len(losses)} batches): {np.mean(losses):.5f}")
 
+    if getattr(cfg, "bpd", False):
+        # prob-flow ODE bits/dim (reference run_lib.py:241-260 BPD pass)
+        from ..eval.likelihood import get_likelihood_fn
+        from ..sde import get_score_fn
+        score_fn = get_score_fn(sde, lambda x, tl: model.apply(
+            {"params": state.ema.shadow}, x, tl))
+        lik = get_likelihood_fn(sde, score_fn,
+                                inverse_scaler=get_inverse_scaler(True))
+        bpds = []
+        for i in range(4):
+            images, _ = next(it)
+            bpd, _, nfe = lik(jax.random.PRNGKey(100 + i),
+                              jnp.asarray(images))
+            bpds.append(float(np.asarray(bpd).mean()))
+            print(f"  bpd batch {i}: {bpds[-1]:.4f} (nfe {int(nfe)})")
+        print(f"eval bpd (EMA, {len(bpds)} batches): {np.mean(bpds):.4f}")
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
@@ -168,6 +186,8 @@ def main(argv=None) -> int:
         int(x) for x in s.split(",")), default=(1, 2, 2, 2))
     p.add_argument("--num-res-blocks", type=int, default=4)
     p.add_argument("--no-snapshot-samples", action="store_true")
+    p.add_argument("--bpd", action="store_true",
+                   help="also report prob-flow bits/dim in eval mode")
     args = p.parse_args(argv)
 
     cfg = TrainConfig(
@@ -177,7 +197,7 @@ def main(argv=None) -> int:
         preemption_freq=args.preemption_freq, log_freq=args.log_freq,
         nf=args.nf, ch_mult=args.ch_mult,
         num_res_blocks=args.num_res_blocks,
-        sample_at_snapshot=not args.no_snapshot_samples)
+        sample_at_snapshot=not args.no_snapshot_samples, bpd=args.bpd)
     (train if args.mode == "train" else evaluate)(cfg)
     return 0
 

@@ -118,10 +118,25 @@ def load_torch_checkpoint(path: str) -> dict:
     if isinstance(ckpt, dict) and "ema" in ckpt:
         ema = ckpt["ema"]
         if "shadow_params" in ema:     # ExponentialMovingAverage state
+            # shadow_params follow model.parameters() order == the state_dict
+            # order with BUFFERS removed (e.g. the 'sigmas' buffer NCSN++
+            # registers first); shape-check each assignment
             model_sd = strip_prefixes(ckpt["model"])
+            shadows = list(ema["shadow_params"])
             out = {}
-            for (k, _), p in zip(model_sd.items(), ema["shadow_params"]):
+            si = 0
+            for k, v in model_sd.items():
+                if k.split(".")[-1] in ("sigmas", "num_batches_tracked",
+                                        "running_mean", "running_var"):
+                    out[k] = _to_numpy(v)
+                    continue
+                p = shadows[si]
+                if tuple(p.shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"EMA shadow/param misalignment at {k}: "
+                        f"{tuple(p.shape)} vs {tuple(v.shape)}")
                 out[k] = _to_numpy(p)
+                si += 1
             return out
         ckpt = ema
     if isinstance(ckpt, dict) and "model" in ckpt:
