@@ -84,10 +84,20 @@ def _sample_cells(args, cells, build_sampler):
 
 def sweep_deis(args):
     raw = _model(args)
-    sde = LinearVPSDE()
+    if args.discrete:
+        # the reference builds DEIS on DiscreteVPSDE from the model's alphas
+        # (src/CIFAR10NaturalInference.py:122-160); time = integer steps
+        from ..schedules import PiecewiseVPSDE
+        betas = np.linspace(0.1 / 1000, 20.0 / 1000, 1000)
+        sde = PiecewiseVPSDE.from_betas(betas)
+    else:
+        sde = LinearVPSDE()
+
+    # model label convention: continuous t*999 vs discrete integer index
+    scale = 1.0 / 999.0 if args.discrete else 1.0
 
     def eps_fn(x, t):
-        return raw(x, jnp.broadcast_to(jnp.asarray(t, jnp.float32),
+        return raw(x, jnp.broadcast_to(jnp.asarray(t, jnp.float32) * scale,
                                        (x.shape[0],)))
 
     cells = []
@@ -101,13 +111,15 @@ def sweep_deis(args):
                 cells.append({"ts_phase": ts_phase, "method": method,
                               "ab_order": order})
 
+    t0 = 0.0 if args.discrete else 1e-3
+
     def build(cell):
         if cell["method"] == "ipndm":
-            return deis_mod.get_sampler_ipndm(sde, eps_fn, args.steps)
+            return deis_mod.get_sampler_ipndm(sde, eps_fn, args.steps, t0=t0)
         return deis_mod.get_sampler(
             sde, eps_fn, cell["ts_phase"], 2.0, args.steps,
             method=cell["method"], ab_order=cell["ab_order"],
-            rk_method="3kutta")
+            rk_method="3kutta", t0=t0)
 
     return _sample_cells(args, cells, build)
 
@@ -140,6 +152,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=888)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--fid-stats", default=None)
+    p.add_argument("--discrete", action="store_true",
+                   help="DEIS on the piecewise discrete-alpha schedule "
+                        "(the reference FID-sweep setup)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
