@@ -82,8 +82,8 @@ def main(argv=None) -> int:
 
     key = jax.random.PRNGKey(args.seed)
     images = []
-    t0 = time.time()
-    done = 0
+    t0 = None
+    done = first = 0
     while done < args.num:
         b = min(args.batch, args.num - done)
         key, k1, k2 = jax.random.split(key, 3)
@@ -91,9 +91,14 @@ def main(argv=None) -> int:
         init = jax.device_put(init, batch_sharding(mesh, 4)) \
             if b % mesh.devices.size == 0 else init
         out = run(init, k2)
-        images.append(np.asarray(out, np.float32))
+        images.append(np.asarray(out, np.float32))   # forces completion
+        if t0 is None:                               # exclude compile
+            t0, first = time.time(), done + b
         done += b
-        print(f"{done}/{args.num} ({done / (time.time() - t0):.1f} img/s)")
+        rate = (done - first) / max(time.time() - t0, 1e-9) \
+            if done > first else float("nan")
+        print(f"{done}/{args.num} ({rate:.1f} img/s steady)")
+    t0 = t0 or time.time()
     images = np.concatenate(images)[: args.num]
 
     os.makedirs(args.outdir, exist_ok=True)
