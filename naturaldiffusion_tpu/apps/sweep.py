@@ -63,9 +63,9 @@ def _sample_cells(args, cells, build_sampler):
             x = jax.random.normal(sub, (b, 32, 32, 3), jnp.float32)
             out = sampler(x)
             out.block_until_ready()
-            if t0 is None:          # exclude compile from throughput
+            if t0 is None:          # exclude the compile batch (time AND images)
                 t0 = time.time()
-                first = done
+                first = done + b
             imgs.append(np.asarray(out, np.float32))
             done += b
         rate = (done - first) / max(time.time() - t0, 1e-9) \

@@ -106,10 +106,9 @@ void bl_fill_batch(void* handle, const long* indices, int n,
     size_t base = fi == 0 ? 0 : L->cum_records[fi - 1];
     const uint8_t* r = L->maps[fi].data + (idx - base) * rec;
 
-    int32_t label = 0;
-    for (int b = 0; b < L->label_bytes; ++b)
-      label = (label << 8) | r[b];  // big-endian multi-byte labels (CIFAR100)
-    out_labels[i] = label;
+    // last label byte = fine label (CIFAR-100 stores [coarse, fine]);
+    // matches the numpy fallback path in native_loader.py
+    out_labels[i] = r[L->label_bytes - 1];
 
     const uint8_t* px = r + L->label_bytes;
     float* out = out_images + static_cast<size_t>(i) * h * w * c;

@@ -72,9 +72,13 @@ def activations(images: np.ndarray, feature_fn: Callable,
     for i in range(0, len(images), batch_size):
         chunk = images[i:i + batch_size]
         if mesh is not None and len(chunk) % mesh.devices.size:
-            pad = -len(chunk) % mesh.devices.size
-            chunk = np.concatenate([chunk, chunk[:pad]])
-            out.append(np.asarray(feature_fn(put(chunk)))[:len(chunk) - pad])
+            n = len(chunk)
+            pad = -n % mesh.devices.size
+            # edge-repeat: correct even when the tail chunk is shorter than
+            # the pad amount (chunk[:pad] would under-fill there)
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            out.append(np.asarray(feature_fn(put(chunk)))[:n])
         else:
             out.append(np.asarray(feature_fn(put(chunk))))
     return np.concatenate(out)

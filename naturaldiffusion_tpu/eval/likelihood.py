@@ -69,17 +69,19 @@ def get_likelihood_fn(sde: SDE, score_fn, *, hutchinson_type: str = "rademacher"
         delta_logp = out[:, dims]
         prior_logp = sde.prior_logp(z)
         bpd = -(prior_logp + delta_logp) / math.log(2) / dims
-        # dequantization offset (reference likelihood.py:100-104)
-        offset = 7.0 - _inverse_scaler_log_det(inverse_scaler)
+        # dequantization offset (reference likelihood.py:100-104 computes
+        # ``7 - inverse_scaler(-1)``: 7 for centered data, 8 for uncentered).
+        # Equivalent closed form for the affine scalers: 8 + log2(scale),
+        # where scale is the per-dim Jacobian of the inverse map.
+        offset = 8.0 + _inverse_scaler_log_det(inverse_scaler)
         return bpd + offset, z, nfe
 
     return likelihood_fn
 
 
 def _inverse_scaler_log_det(inverse_scaler) -> float:
-    """log2 of the per-dim Jacobian of the inverse scaler: the reference
-    hard-codes `7 + log2(scale)` via ``inverse_scaler(-1)`` tricks; here we
-    probe the affine map directly."""
+    """log2 of the per-dim Jacobian of the (affine) inverse scaler, probed
+    directly: centered data has scale 1/2 -> -1, uncentered scale 1 -> 0."""
     a = float(inverse_scaler(jnp.asarray(0.0)))
     b = float(inverse_scaler(jnp.asarray(1.0)))
     return math.log2(abs(b - a)) if b != a else 0.0

@@ -214,8 +214,9 @@ def get_score_fn(sde: SDE, apply_fn, *, continuous: bool = True):
             if continuous:
                 labels = sde.marginal_prob(jnp.zeros_like(x), t)[1]
             else:
-                labels = sde.T - t
-                labels = labels * (sde.N - 1)
+                # reference models/utils.py:168-171 rounds before the model's
+                # integer cast; without it, truncation indexes sigma[i-1].
+                labels = jnp.round((sde.T - t) * (sde.N - 1))
             return apply_fn(x, labels)
         return score_fn
     raise NotImplementedError(type(sde))

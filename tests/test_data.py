@@ -38,6 +38,26 @@ def test_native_matches_numpy(cifar_bin):
     assert img_n.min() >= 0.0 and img_n.max() <= 1.0
 
 
+def test_multibyte_label_convention(tmp_path):
+    """CIFAR-100 layout ([coarse, fine] label bytes): both backends keep the
+    last byte (fine label)."""
+    rng = np.random.default_rng(1)
+    n, px = 20, 3072
+    rec = np.empty((n, 2 + px), np.uint8)
+    rec[:, 0] = rng.integers(0, 20, n)      # coarse
+    rec[:, 1] = rng.integers(0, 100, n)     # fine
+    rec[:, 2:] = rng.integers(0, 256, (n, px))
+    p = tmp_path / "train.bin"
+    rec.tofile(p)
+    idx = np.asarray([0, 3, 19], np.int64)
+    nat = NativeBatchLoader([str(p)], label_bytes=2)
+    ref = NativeBatchLoader([str(p)], label_bytes=2, force_numpy=True)
+    _, lab_n = nat.gather(idx)
+    _, lab_r = ref.gather(idx)
+    np.testing.assert_array_equal(lab_n, rec[idx, 1].astype(np.int32))
+    np.testing.assert_array_equal(lab_n, lab_r)
+
+
 def test_native_backend_active(cifar_bin):
     nat = NativeBatchLoader(cifar_bin)
     assert nat.backend == "native", "C++ loader failed to build"

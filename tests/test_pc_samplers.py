@@ -91,15 +91,27 @@ def test_ode_sampler_identity_flow():
 
 
 def test_likelihood_gaussian_bpd():
+    """Dequantization offset convention (reference likelihood.py:100-104,
+    ``offset = 7 - inverse_scaler(-1)``): 7 for centered data, 8 for
+    uncentered."""
     sde = VPSDE()
-    lik = get_likelihood_fn(sde, gauss_score, eps=1e-5)
     data = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+    nll_bits = (np.log(2 * np.pi) / 2
+                + (np.asarray(data) ** 2).mean() / 2) / np.log(2)
+
+    # centered data ([-1,1] model space): inverse_scaler=(x+1)/2 -> offset 7
+    lik = get_likelihood_fn(sde, gauss_score, eps=1e-5,
+                            inverse_scaler=lambda x: (x + 1.0) / 2.0)
     bpd, z, nfe = lik(jax.random.PRNGKey(3), data)
-    # identity flow: z == data; bpd = NLL(N(0,1))/dim + 7
     np.testing.assert_allclose(np.asarray(z), np.asarray(data), atol=1e-3)
-    want = (np.log(2 * np.pi) / 2
-            + (np.asarray(data) ** 2).mean() / 2) / np.log(2) + 7.0
-    np.testing.assert_allclose(np.asarray(bpd).mean(), want, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(bpd).mean(), nll_bits + 7.0,
+                               rtol=1e-3)
+
+    # uncentered ([0,1] model space): identity inverse_scaler -> offset 8
+    lik8 = get_likelihood_fn(sde, gauss_score, eps=1e-5)
+    bpd8, _, _ = lik8(jax.random.PRNGKey(3), data)
+    np.testing.assert_allclose(np.asarray(bpd8).mean(), nll_bits + 8.0,
+                               rtol=1e-3)
 
 
 def test_inpainter_preserves_known():

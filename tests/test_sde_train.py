@@ -58,6 +58,25 @@ def test_score_fn_label_convention():
     np.testing.assert_allclose(np.asarray(score), want, rtol=1e-6)
 
 
+def test_ve_discrete_labels_rounded():
+    """VE discrete: labels = round((T - t)(N-1)) (models/utils.py:168-171);
+    without the round, float error + int truncation indexes sigma[i-1]."""
+    from naturaldiffusion_tpu.sde import VESDE
+    sde = VESDE(N=10)
+    seen = {}
+
+    def apply_fn(x, labels):
+        seen["labels"] = labels
+        return x
+
+    # a linspace-style grid whose products land just below integers in fp32
+    t = jnp.asarray([1.0 - 3.0 / 9.0, 1.0 - 7.0 / 9.0, 1.0])
+    get_score_fn(sde, apply_fn, continuous=False)(jnp.ones((3, 4)), t)
+    labels = np.asarray(seen["labels"])
+    np.testing.assert_array_equal(labels.astype(np.int32), [3, 7, 0])
+    np.testing.assert_allclose(labels, np.round(labels))  # already integral
+
+
 def test_ema_warmup_decay():
     p0 = {"w": jnp.zeros(3)}
     ema = EMA.create(p0, decay=0.9999)
