@@ -90,9 +90,40 @@ def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
                     name=name)
 
 
-def group_norm(channels: int, name=None):
-    return nn.GroupNorm(num_groups=min(channels // 4, 32), epsilon=1e-6,
-                        name=name)
+class GroupNorm(nn.Module):
+    """Drop-in ``nn.GroupNorm`` twin backed by the fused Pallas kernel
+    (:mod:`naturaldiffusion_tpu.ops.group_norm`) on TPU.
+
+    Same param tree (``scale``/``bias``) so torch->flax converters are
+    unchanged; same fast-variance f32 statistics.  Extras the stock module
+    can't fuse: ``act='silu'`` runs the activation in the kernel epilogue and
+    ``extra_bias`` folds the resblock's per-sample temb projection
+    (``h + Dense(temb)[:, None, None, :]``) into the same VMEM pass.
+    ``dtype`` should be the activation dtype (``x.dtype``): with ``None`` the
+    f32 statistics promote the *output* to f32, upcasting every downstream
+    conv on a bf16 run."""
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: object = None
+    act: str | None = None
+
+    @nn.compact
+    def __call__(self, x, extra_bias=None):
+        c = x.shape[-1]
+        scale = self.param("scale", jax.nn.initializers.ones, (c,))
+        bias = self.param("bias", jax.nn.initializers.zeros, (c,))
+        out_dtype = self.dtype or jnp.result_type(x, scale, bias)
+        from ..ops.group_norm import fused_group_norm
+        y = fused_group_norm(x.astype(out_dtype), scale, bias,
+                             self.num_groups, eps=self.epsilon, act=self.act,
+                             extra_bias=extra_bias)
+        return y
+
+
+def group_norm(channels: int, name=None, dtype=None, act=None):
+    """GroupNorm(min(c//4, 32)) as in the reference ``normalization.py``."""
+    return GroupNorm(num_groups=min(channels // 4, 32), epsilon=1e-6,
+                     dtype=dtype, act=act, name=name)
 
 
 class AttnBlockpp(nn.Module):
@@ -106,7 +137,7 @@ class AttnBlockpp(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = group_norm(c, name="GroupNorm_0")(x)
+        y = group_norm(c, name="GroupNorm_0", dtype=x.dtype)(x)
         q = NIN(c, name="NIN_0")(y).reshape(b, h * w, c)
         k = NIN(c, name="NIN_1")(y).reshape(b, h * w, c)
         v = NIN(c, name="NIN_2")(y).reshape(b, h * w, c)
@@ -115,7 +146,7 @@ class AttnBlockpp(nn.Module):
         y = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         y = NIN(c, init_scale=self.init_scale, name="NIN_3")(y)
         out = x + y
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+        return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
 class FIRConv2d(nn.Module):
@@ -225,13 +256,16 @@ class ResnetBlockDDPMpp(nn.Module):
         act = nn.silu
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = act(group_norm(in_ch, name="GroupNorm_0")(x))
+        h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                       act="silu")(x)
         h = conv3x3(out_ch, name="Conv_0")(h)
+        tb = None
         if temb is not None:
-            h = h + nn.Dense(out_ch, kernel_init=default_init(),
-                             bias_init=jax.nn.initializers.zeros,
-                                       name="Dense_0")(act(temb))[:, None, None, :]
-        h = act(group_norm(out_ch, name="GroupNorm_1")(h))
+            tb = nn.Dense(out_ch, kernel_init=default_init(),
+                          bias_init=jax.nn.initializers.zeros,
+                          name="Dense_0")(act(temb))
+        h = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                       act="silu")(h, extra_bias=tb)
         h = nn.Dropout(self.dropout, deterministic=deterministic,
                        name="Dropout_0")(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
@@ -241,7 +275,7 @@ class ResnetBlockDDPMpp(nn.Module):
             else:
                 x = NIN(out_ch, name="NIN_0")(x)
         out = x + h
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+        return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -260,7 +294,8 @@ class ResnetBlockBigGANpp(nn.Module):
         act = nn.silu
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = act(group_norm(in_ch, name="GroupNorm_0")(x))
+        h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                       act="silu")(x)
 
         if self.up:
             if self.fir:
@@ -278,11 +313,13 @@ class ResnetBlockBigGANpp(nn.Module):
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
         h = conv3x3(out_ch, name="Conv_0")(h)
+        tb = None
         if temb is not None:
-            h = h + nn.Dense(out_ch, kernel_init=default_init(),
-                             bias_init=jax.nn.initializers.zeros,
-                                       name="Dense_0")(act(temb))[:, None, None, :]
-        h = act(group_norm(out_ch, name="GroupNorm_1")(h))
+            tb = nn.Dense(out_ch, kernel_init=default_init(),
+                          bias_init=jax.nn.initializers.zeros,
+                          name="Dense_0")(act(temb))
+        h = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                       act="silu")(h, extra_bias=tb)
         h = nn.Dropout(self.dropout, deterministic=deterministic,
                        name="Dropout_0")(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
@@ -291,7 +328,7 @@ class ResnetBlockBigGANpp(nn.Module):
             x = conv1x1(out_ch, name="Conv_2")(x)
 
         out = x + h
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+        return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
 def _naive_upsample(x, factor: int = 2):

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .dit import get_2d_sincos_pos_embed, timestep_embedding
@@ -135,6 +136,9 @@ class JointBlock(nn.Module):
 
 class MMDiT(nn.Module):
     config: MMDiTConfig
+    # optional NamedSharding for [B, T, D] latent tokens — Megatron-SP
+    # boundary constraint applied between JointBlocks (same hook as DiT)
+    token_constraint: object = None
 
     @nn.compact
     def __call__(self, x, t, context, pooled):
@@ -157,6 +161,9 @@ class MMDiT(nn.Module):
         ctx = nn.Dense(d, name="context_embedder")(context)
 
         for i in range(cfg.depth):
+            if self.token_constraint is not None:
+                tok = jax.lax.with_sharding_constraint(
+                    tok, self.token_constraint)
             tok, ctx = JointBlock(
                 cfg.num_heads, context_pre_only=(i == cfg.depth - 1),
                 qk_norm=cfg.qk_norm, name=f"transformer_blocks_{i}",

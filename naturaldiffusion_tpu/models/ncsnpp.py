@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -128,6 +129,12 @@ class NCSNpp(nn.Module):
                 used_sigmas = jnp.asarray(np.asarray(self.sigmas),
                                           x.dtype)[time_cond.astype(jnp.int32)]
 
+        # keep the activation dtype the caller chose: the sinusoidal/fourier
+        # embedding is f32, and without this cast the per-block
+        # ``h + Dense(temb)`` promotes every activation downstream to f32
+        # (2x HBM traffic + f32 MXU convs on a bf16 run)
+        temb = temb.astype(x.dtype)
+
         if cfg.conditional:
             temb = nn.Dense(nf * 4, kernel_init=L.default_init(),
                                      name=f"m{idx()}")(temb)
@@ -171,7 +178,7 @@ class NCSNpp(nn.Module):
                     input_pyramid = Down(out_ch=in_ch,
                                          name=f"m{idx()}")(input_pyramid)
                     if cfg.skip_rescale:
-                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) / math.sqrt(2.0)
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -197,19 +204,21 @@ class NCSNpp(nn.Module):
 
             if cfg.progressive != "none":
                 if i_level == num_resolutions - 1:
-                    gn = L.group_norm(in_ch, name=f"m{idx()}")
+                    gn = L.group_norm(in_ch, name=f"m{idx()}", dtype=h.dtype,
+                                      act="silu")
                     if cfg.progressive == "output_skip":
-                        pyramid = act(gn(h))
+                        pyramid = gn(h)
                         pyramid = L.conv3x3(cfg.num_channels,
                                             init_scale=cfg.init_scale,
                                             name=f"m{idx()}")(pyramid)
                     elif cfg.progressive == "residual":
-                        pyramid = act(gn(h))
+                        pyramid = gn(h)
                         pyramid = L.conv3x3(in_ch, name=f"m{idx()}")(pyramid)
                 else:
                     if cfg.progressive == "output_skip":
                         pyramid = _plain_up(pyramid, cfg)
-                        ph = act(L.group_norm(in_ch, name=f"m{idx()}")(h))
+                        ph = L.group_norm(in_ch, name=f"m{idx()}",
+                                          dtype=h.dtype, act="silu")(h)
                         ph = L.conv3x3(cfg.num_channels, bias=True,
                                        init_scale=cfg.init_scale,
                                        name=f"m{idx()}")(ph)
@@ -217,7 +226,7 @@ class NCSNpp(nn.Module):
                     elif cfg.progressive == "residual":
                         pyramid = Up(out_ch=in_ch, name=f"m{idx()}")(pyramid)
                         if cfg.skip_rescale:
-                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                            pyramid = (pyramid + h) / math.sqrt(2.0)
                         else:
                             pyramid = pyramid + h
                         h = pyramid
@@ -233,7 +242,8 @@ class NCSNpp(nn.Module):
         if cfg.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(L.group_norm(in_ch, name=f"m{idx()}")(h))
+            h = L.group_norm(in_ch, name=f"m{idx()}", dtype=h.dtype,
+                             act="silu")(h)
             h = L.conv3x3(cfg.num_channels, init_scale=cfg.init_scale,
                           name=f"m{idx()}")(h)
 

@@ -4,8 +4,14 @@ flash-attention kernel.
 The transformer backbones (DiT 1024 tokens, MMDiT 4096+context) are the
 long-sequence hot path (SURVEY.md §5 long-context row).  ``backend="auto"``
 picks the fused Pallas kernel (O(T) memory, no materialized [T, T] scores)
-when running on TPU with block-aligned sequence lengths, and the plain
-einsum pair otherwise (CPU tests, odd lengths).
+when running on TPU, and the plain einsum pair otherwise (CPU tests).
+
+Unaligned sequence lengths — MMDiT's joint ``[latent; context]`` stream is
+4096+154 for SD3-medium (``src/SD3NaturalInference.py:210-213``), never a
+multiple of the kernel's 128-token tiles — are handled by zero-padding
+q/k/v to the next tile boundary and masking the pad keys with segment ids
+(pad tokens live in their own segment, so real queries never attend to
+them); the pad query rows are sliced off afterwards.
 """
 
 from __future__ import annotations
@@ -23,6 +29,40 @@ def _on_tpu() -> bool:
         return False
 
 
+def _flash(q, k, v, sm_scale: float, t: int):
+    """Pallas flash attention, padding unaligned t up to 128-multiples."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    # pad to a 512-token tile: the kernel's throughput collapses at small
+    # blocks (measured v5e, t=4096: 2.9ms @512, 7.0ms @256, 22.4ms @128),
+    # so burning <=511 padded tokens beats shrinking the tile to fit
+    unit = 512 if t >= 512 else 128
+    tp = -(-t // unit) * unit
+    if tp != t:
+        pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        b = q.shape[0]
+        # segment 0 = real tokens, 1 = padding; cross-segment attention is
+        # masked, so pad keys contribute nothing to real queries
+        seg = jnp.where(jnp.arange(tp) < t, 0, 1).astype(jnp.int32)
+        seg = jnp.broadcast_to(seg[None], (b, tp))
+        segment_ids = fa.SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+
+    blk = min(512, tp)
+    sizes = fa.BlockSizes(
+        block_q=blk, block_k_major=blk,
+        block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_q_dkv=blk, block_k_dkv=blk,
+        block_q_dq=blk, block_k_dq=blk,
+        block_k_major_dq=blk)
+    out = fa.flash_attention(q, k, v, causal=False, sm_scale=sm_scale,
+                             segment_ids=segment_ids, block_sizes=sizes)
+    return out[:, :, :t] if tp != t else out
+
+
 def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None):
     """q/k/v: [B, H, T, D] -> [B, H, T, D]."""
     d = q.shape[-1]
@@ -32,22 +72,11 @@ def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None):
     if backend == "auto":
         # the kernel tiles sequences at 128/512 granularity and pads odd
         # head dims internally (verified on v5e with d=64/72: ~2x over the
-        # einsum pair at 4096 tokens); unaligned sequence lengths (e.g.
-        # MMDiT latent+context joints) fall back to the einsum pair
-        backend = "flash" if (_on_tpu() and t % 128 == 0
-                              and t >= 256) else "xla"
+        # einsum pair at 4096 tokens); unaligned lengths are padded+masked
+        backend = "flash" if (_on_tpu() and t >= 256) else "xla"
 
     if backend == "flash":
-        from jax.experimental.pallas.ops.tpu import flash_attention as fa
-        sizes = fa.BlockSizes(
-            block_q=min(512, t), block_k_major=min(512, t),
-            block_k=min(512, t), block_b=1,
-            block_q_major_dkv=min(512, t), block_k_major_dkv=min(512, t),
-            block_q_dkv=min(512, t), block_k_dkv=min(512, t),
-            block_q_dq=min(512, t), block_k_dq=min(512, t),
-            block_k_major_dq=min(512, t))
-        return fa.flash_attention(q, k, v, causal=False, sm_scale=sm_scale,
-                                  block_sizes=sizes)
+        return _flash(q, k, v, sm_scale, t)
 
     if backend == "xla":
         attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) * sm_scale

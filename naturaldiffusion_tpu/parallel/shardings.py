@@ -16,6 +16,7 @@ Strategy table (SURVEY.md §2.5):
 from __future__ import annotations
 
 import re
+import warnings
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -35,23 +36,66 @@ _DIT_TP_RULES: list[tuple[str, callable]] = [
     (r".*/adaLN_modulation_1/bias$",   lambda: P("model")),
 ]
 
+# MMDiT (SD3) — param names follow models/mmdit.py (HF layout mirrored):
+# q/k/v + context q/k/v column-parallel (heads split over `model`), output
+# projections row-parallel, both MLPs column->row, adaLN projections
+# column-parallel.  2B params at SD3-medium scale: TP is the memory story.
+_MMDIT_TP_RULES: list[tuple[str, callable]] = [
+    (r".*/attn_to_[qkv]/kernel$",        lambda: P(None, "model")),
+    (r".*/attn_to_[qkv]/bias$",          lambda: P("model")),
+    (r".*/attn_add_[qkv]_proj/kernel$",  lambda: P(None, "model")),
+    (r".*/attn_add_[qkv]_proj/bias$",    lambda: P("model")),
+    (r".*/attn_to_out_0/kernel$",        lambda: P("model", None)),
+    (r".*/attn_to_add_out/kernel$",      lambda: P("model", None)),
+    (r".*/ff_net_0_proj/kernel$",        lambda: P(None, "model")),
+    (r".*/ff_net_0_proj/bias$",          lambda: P("model")),
+    (r".*/ff_net_2/kernel$",             lambda: P("model", None)),
+    (r".*/ff_context_net_0_proj/kernel$", lambda: P(None, "model")),
+    (r".*/ff_context_net_0_proj/bias$",  lambda: P("model")),
+    (r".*/ff_context_net_2/kernel$",     lambda: P("model", None)),
+    (r".*/norm1_linear/kernel$",         lambda: P(None, "model")),
+    (r".*/norm1_linear/bias$",           lambda: P("model")),
+    (r".*/norm1_context_linear/kernel$", lambda: P(None, "model")),
+    (r".*/norm1_context_linear/bias$",   lambda: P("model")),
+]
+
 
 def _path_str(keypath) -> str:
     return "/".join(getattr(k, "key", getattr(k, "name", str(k)))
                     for k in keypath)
 
 
-def dit_tp_sharding(params, mesh: Mesh):
-    """NamedSharding pytree for DiT params: Megatron TP over ``model``;
-    everything unmatched is replicated."""
+def tp_sharding(params, mesh: Mesh, rules, *, family: str = "model"):
+    """NamedSharding pytree from ``rules``; unmatched leaves replicated.
+    Warns when NO leaf matches — a silent all-replicated result almost always
+    means the rules were applied to the wrong model family."""
+    matched = [0]
+
     def spec_for(keypath, leaf):
         path = _path_str(keypath)
-        for pat, spec in _DIT_TP_RULES:
+        for pat, spec in rules:
             if re.match(pat, path):
+                matched[0] += 1
                 return NamedSharding(mesh, spec())
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    out = jax.tree_util.tree_map_with_path(spec_for, params)
+    if matched[0] == 0:
+        warnings.warn(
+            f"tp_sharding: zero {family} TP rules matched any parameter — "
+            "the tree is fully replicated. Wrong model family for these "
+            "rules?", stacklevel=2)
+    return out
+
+
+def dit_tp_sharding(params, mesh: Mesh):
+    """Megatron TP for DiT params (see ``_DIT_TP_RULES``)."""
+    return tp_sharding(params, mesh, _DIT_TP_RULES, family="DiT")
+
+
+def mmdit_tp_sharding(params, mesh: Mesh):
+    """Megatron TP for MMDiT/SD3 params (see ``_MMDIT_TP_RULES``)."""
+    return tp_sharding(params, mesh, _MMDIT_TP_RULES, family="MMDiT")
 
 
 def replicate_tree(params, mesh: Mesh):
