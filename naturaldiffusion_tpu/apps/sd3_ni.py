@@ -26,19 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..coeffs.sd3 import flow_match_sigmas, sd3_weight_matrix
+from ..engine import NISchedule, natural_inference
 from ..models.mmdit import MMDiT, MMDiTConfig
 from ..utils.plotting import save_image_grid
-
-
-def flow_match_sigmas(num_step: int, *, shift: float = 3.0,
-                      num_train: int = 1000) -> tuple[np.ndarray, np.ndarray]:
-    """(timesteps, sigmas) of diffusers' FlowMatchEulerDiscreteScheduler
-    ``set_timesteps`` (SD3 config: shift=3).  sigmas has a trailing 0."""
-    ts = np.linspace(num_train, 1.0, num_step)
-    sigmas = ts / num_train
-    sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
-    timesteps = sigmas * num_train
-    return timesteps, np.append(sigmas, 0.0)
 
 
 def load_weight_csv(path: str) -> np.ndarray:
@@ -46,25 +37,61 @@ def load_weight_csv(path: str) -> np.ndarray:
     return pd.read_csv(path, index_col=0).to_numpy()
 
 
-def weighted_sum(seq_x0, weights: np.ndarray):
-    """Row-sum-normalized weighted sum over the x0 history
-    (reference ``weighted_sum``, ``src/SD3NaturalInference.py:157-168``)."""
-    n = len(seq_x0)
-    acc = jnp.zeros_like(seq_x0[0])
-    tot = 0.0
-    for i, arr in enumerate(seq_x0):
-        w = float(weights[n - 1][i])
-        acc = acc + arr * w
-        tot += w
-    return acc / tot
+def make_cfg_fwd(model, params, *, context, pooled, neg_context, neg_pooled,
+                 cfg_scale: float = 7.0):
+    """CFG-fused velocity predictor ``(z, t) -> v`` for the NI engine.
+
+    The reference fuses at the x0 level (``src/SD3NaturalInference.py:
+    215-217``); since ``x0 = z - sigma*v``, fusing at the v level is
+    algebraically identical and keeps the engine's ``v_flow`` conversion."""
+    ctx2 = jnp.concatenate([context, neg_context], axis=0)
+    pool2 = jnp.concatenate([pooled, neg_pooled], axis=0)
+
+    def fwd(z, t):
+        b = z.shape[0]
+        z2 = jnp.concatenate([z, z], axis=0)
+        t2 = jnp.full((2 * b,), t, z.dtype)
+        v2 = model.apply({"params": params}, z2, t2, ctx2, pool2)
+        text_v, null_v = v2[:b], v2[b:]
+        return null_v + cfg_scale * (text_v - null_v)
+
+    return fwd
 
 
 def sd3_natural_inference(model, params, noises, weights, *, context,
                           pooled, neg_context, neg_pooled, num_step: int = 28,
-                          cfg_scale: float = 7.0):
+                          cfg_scale: float = 7.0, shift: float = 3.0):
+    """SD3 NI as ONE jitted engine executable (VERDICT r1 item 5): the
+    sigma-reprojection is affine, so it rides the same ``NISchedule`` scan
+    as every other sampler instead of a host-side Python loop."""
+    sched = NISchedule.from_matrix(
+        sd3_weight_matrix(weights, num_step, shift=shift))
+    fwd = make_cfg_fwd(model, params, context=context, pooled=pooled,
+                       neg_context=neg_context, neg_pooled=neg_pooled,
+                       cfg_scale=cfg_scale)
+    run = jax.jit(lambda z: natural_inference(
+        fwd, sched, z, prediction_type="v_flow"))
+    return run(noises)
+
+
+def sd3_natural_inference_host(model, params, noises, weights, *, context,
+                               pooled, neg_context, neg_pooled,
+                               num_step: int = 28, cfg_scale: float = 7.0):
+    """Reference-shaped host loop (``src/SD3NaturalInference.py:201-223``) —
+    kept as the parity oracle for the engine path."""
     timesteps, sigmas = flow_match_sigmas(num_step)
     seq_x0: list = []
     b = noises.shape[0]
+
+    def weighted_sum(seq_x0):
+        n = len(seq_x0)
+        acc = jnp.zeros_like(seq_x0[0])
+        tot = 0.0
+        for i, arr in enumerate(seq_x0):
+            w = float(weights[n - 1][i])
+            acc = acc + arr * w
+            tot += w
+        return acc / tot
 
     @jax.jit
     def fwd(x, t, ctx, pool):
@@ -73,7 +100,7 @@ def sd3_natural_inference(model, params, noises, weights, *, context,
     for k in range(num_step):
         t = jnp.full((b,), timesteps[k], jnp.float32)
         sigma = float(sigmas[k])
-        curr_x0 = weighted_sum(seq_x0, weights) if seq_x0 \
+        curr_x0 = weighted_sum(seq_x0) if seq_x0 \
             else jnp.zeros_like(noises)
         model_in = sigma * noises + (1.0 - sigma) * curr_x0
 
@@ -84,7 +111,7 @@ def sd3_natural_inference(model, params, noises, weights, *, context,
         fuse_x0 = null_x0 + cfg_scale * (text_x0 - null_x0)
         seq_x0.append(fuse_x0)
 
-    return weighted_sum(seq_x0, weights)
+    return weighted_sum(seq_x0)
 
 
 def main(argv=None) -> int:
