@@ -190,13 +190,12 @@ class FIDInceptionV3(nn.Module):
         return pool
 
 
-def load_fid_inception_params(pth_path: str, template=None):
-    """Convert pytorch-fid's ``pt_inception-2015-12-05.pth`` to the flax
-    tree.  BN leaf mapping: scale<-weight, bias<-bias, mean<-running_mean,
-    var<-running_var."""
-    from ..models.convert import fill_from_torch, load_torch_checkpoint
+def convert_fid_inception_state(sd, template=None):
+    """Convert a pytorch-fid/torchvision inception ``state_dict`` (flat
+    name->tensor mapping, in memory) to the flax tree.  BN leaf mapping:
+    scale<-weight, bias<-bias, mean<-running_mean, var<-running_var."""
+    from ..models.convert import fill_from_torch
 
-    sd = load_torch_checkpoint(pth_path)
     sd = {k: v for k, v in sd.items()
           if not k.startswith(("fc.", "AuxLogits."))
           and "num_batches_tracked" not in k}
@@ -212,6 +211,14 @@ def load_fid_inception_params(pth_path: str, template=None):
                               jnp.zeros((1, 32, 32, 3)))["params"]
     params, unused = fill_from_torch(template, renamed)
     return params, unused
+
+
+def load_fid_inception_params(pth_path: str, template=None):
+    """Convert pytorch-fid's ``pt_inception-2015-12-05.pth`` to the flax
+    tree (see :func:`convert_fid_inception_state`)."""
+    from ..models.convert import load_torch_checkpoint
+    return convert_fid_inception_state(load_torch_checkpoint(pth_path),
+                                       template=template)
 
 
 def default_feature_fn(pth_path: str | None = None):

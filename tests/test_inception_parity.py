@@ -1,0 +1,51 @@
+"""Inception FID extractor: flax port == random-init torch twin.
+
+VERDICT r1 item 6a — the blob-free half of FID parity: with random weights
+(incl. randomized BN running stats) flowing through the converter, the flax
+``FIDInceptionV3`` must reproduce the torch twin's 2048-d features.  The
+remaining gap to real FID numbers is exactly the two external weight files
+(``pt_inception-2015-12-05.pth``, ``cifar10_mu_sigma.npz``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from naturaldiffusion_tpu.eval.inception import (FIDInceptionV3,
+                                                 convert_fid_inception_state)
+from torch_inception_twin import random_twin
+
+
+@pytest.fixture(scope="module")
+def twin_and_params():
+    twin = random_twin(seed=0)
+    sd = {k: v for k, v in twin.state_dict().items()}
+    params, unused = convert_fid_inception_state(sd)
+    assert unused == [], unused[:5]
+    return twin, params
+
+
+def test_feature_parity(twin_and_params):
+    twin, params = twin_and_params
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    want = twin.features(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    model = FIDInceptionV3()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+    assert got.shape == want.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_feature_parity_rect_input(twin_and_params):
+    """Non-square, non-CIFAR input exercises the resize path."""
+    twin, params = twin_and_params
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 48, 64, 3)).astype(np.float32)
+    want = twin.features(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(FIDInceptionV3().apply({"params": params},
+                                            jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)

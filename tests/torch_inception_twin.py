@@ -1,0 +1,202 @@
+"""Random-init torch twin of pytorch-fid's InceptionV3 feature extractor.
+
+pytorch-fid builds torchvision's ``inception_v3(num_classes=1008,
+aux_logits=False)`` and swaps in FIDInception{A,C,E_1,E_2} blocks whose only
+deviations are ``count_include_pad=False`` avg-pools and (E_2) a max-pool
+pool branch.  torchvision is not in this image, so this twin reconstructs
+exactly that architecture in plain ``torch.nn`` with torchvision's parameter
+names — its ``state_dict()`` round-trips through
+``eval.inception.convert_fid_inception_state`` unchanged.
+
+Test-support only; the production path consumes the real
+``pt_inception-2015-12-05.pth``.
+"""
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class FIDInceptionA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, 3, 2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class FIDInceptionC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                       padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1),
+                                       padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+            self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7),
+                                         padding=(0, 3))
+        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1),
+                                         padding=(3, 0))
+        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(
+            self.branch7x7x3_2(self.branch7x7x3_1(x))))
+        bp = F.max_pool2d(x, 3, 2)
+        return torch.cat([b3, b7, bp], 1)
+
+
+class FIDInceptionE(nn.Module):
+    def __init__(self, cin, pool_kind):
+        super().__init__()
+        self.pool_kind = pool_kind
+        self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+        self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3),
+                                        padding=(0, 1))
+        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1),
+                                        padding=(1, 0))
+        self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3),
+                                           padding=(0, 1))
+        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1),
+                                           padding=(1, 0))
+        self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool_kind == "avg":          # FIDInceptionE_1
+            bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        else:                                # FIDInceptionE_2: max pool
+            bp = F.max_pool2d(x, 3, 1, 1)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class TorchFIDInception(nn.Module):
+    """The pytorch-fid feature extractor (no fc/aux), torchvision names."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = FIDInceptionA(192, 32)
+        self.Mixed_5c = FIDInceptionA(256, 64)
+        self.Mixed_5d = FIDInceptionA(288, 64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = FIDInceptionC(768, 128)
+        self.Mixed_6c = FIDInceptionC(768, 160)
+        self.Mixed_6d = FIDInceptionC(768, 160)
+        self.Mixed_6e = FIDInceptionC(768, 192)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = FIDInceptionE(1280, "avg")
+        self.Mixed_7c = FIDInceptionE(2048, "max")
+
+    @torch.no_grad()
+    def features(self, x01):
+        """x01: [N, 3, H, W] in [0, 1] -> [N, 2048] (pytorch-fid forward)."""
+        x = F.interpolate(x01, size=(299, 299), mode="bilinear",
+                          align_corners=False)
+        x = 2.0 * x - 1.0
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        for blk in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d,
+                    self.Mixed_6a, self.Mixed_6b, self.Mixed_6c,
+                    self.Mixed_6d, self.Mixed_6e, self.Mixed_7a,
+                    self.Mixed_7b, self.Mixed_7c):
+            x = blk(x)
+        return x.mean(dim=(2, 3))
+
+
+def random_twin(seed: int = 0) -> TorchFIDInception:
+    """Random-init twin incl. randomized BN running stats (a strong parity
+    probe: every converted leaf participates)."""
+    torch.manual_seed(seed)
+    m = TorchFIDInception().eval()
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.1)
+                mod.running_var.uniform_(0.5, 1.5)
+                mod.weight.normal_(1.0, 0.1)
+                mod.bias.normal_(0, 0.1)
+    return m
