@@ -2,18 +2,23 @@
 dataclass registry.
 
 The reference composes ``get_default_configs()``
-(``configs/default_cifar10_configs.py:5-72``) with ~40 per-experiment
-override files; the one its experiments actually load is
-``configs/vp/cifar10_ddpmpp_continuous.py:22-66``.  Here a preset is a
-:class:`ExperimentConfig` value in ``CONFIGS``; ``get_config(name)`` is the
-lookup.  The first-party scripts' hard-coded module globals ("to do: set
-path") are replaced by explicit CLI flags in :mod:`naturaldiffusion_tpu.apps`.
+(``configs/default_cifar10_configs.py:5-72``) with 39 per-experiment
+override files under ``configs/{vp,ve,subvp}/``.  All 39 are represented
+here: :mod:`naturaldiffusion_tpu.configs_zoo` holds the extracted values
+(verified field-by-field against the reference tree by
+``tests/test_configs_zoo.py``) and this module lifts them into typed
+:class:`ExperimentConfig` presets.  ``get_config(name)`` is the lookup;
+names are the reference-relative paths (``vp/cifar10_ddpmpp_continuous``).
+
+The first-party scripts' hard-coded module globals ("to do: set path") are
+replaced by explicit CLI flags in :mod:`naturaldiffusion_tpu.apps`.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+from .configs_zoo import ZOO
 from .models.ncsnpp import NCSNppConfig
 from .models.ddpm import DDPMConfig
 from .models.ncsnv2 import NCSNv2Config
@@ -31,8 +36,14 @@ class TrainingConfig:
     reduce_mean: bool = True
     lr: float = 2e-4
     warmup: int = 5000
-    grad_clip: float = 1.0
+    grad_clip: float = 1.0              # <0 = no clipping (ncsn/ncsnv2)
     ema_rate: float = 0.9999
+    # SDE hyperparameters (reference keeps them under model.*)
+    beta_min: float = 0.1
+    beta_max: float = 20.0
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    num_scales: int = 1000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +54,7 @@ class SamplingConfig:
     snr: float = 0.16
     n_steps_each: int = 1
     noise_removal: bool = True
+    probability_flow: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,86 +69,38 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     name: str
-    model_family: str                   # ncsnpp | ddpm
+    model_family: str                   # registry name (models._MODELS)
     model: object
     training: TrainingConfig
     sampling: SamplingConfig
     data: DataConfig = DataConfig()
 
 
-def _ncsnpp(**kw) -> NCSNppConfig:
-    return NCSNppConfig(**kw)
+_MODEL_CFG = {
+    "ncsnpp": NCSNppConfig,
+    "ddpm": DDPMConfig,
+    "ncsn": NCSNv2Config,
+    "ncsnv2_64": NCSNv2Config,
+    "ncsnv2_128": NCSNv2Config,
+    "ncsnv2_256": NCSNv2Config,
+}
 
 
-_VP_SAMPLING = SamplingConfig(predictor="euler_maruyama", corrector="none")
-_VE_SAMPLING = SamplingConfig(predictor="reverse_diffusion",
-                              corrector="langevin")
+def _build(name: str, entry: dict) -> ExperimentConfig:
+    family = entry["family"]
+    model = _MODEL_CFG[family](**entry["model"])
+    return ExperimentConfig(
+        name=name,
+        model_family=family,
+        model=model,
+        training=TrainingConfig(**entry["training"]),
+        sampling=SamplingConfig(**entry["sampling"]),
+        data=DataConfig(**entry["data"]),
+    )
+
 
 CONFIGS: dict[str, ExperimentConfig] = {
-    # the checkpoint_8.pth experiment (configs/vp/cifar10_ddpmpp_continuous.py)
-    "vp/cifar10_ddpmpp_continuous": ExperimentConfig(
-        "vp/cifar10_ddpmpp_continuous", "ncsnpp", _ncsnpp(),
-        TrainingConfig(sde="vpsde", continuous=True), _VP_SAMPLING),
-    "vp/cifar10_ddpmpp": ExperimentConfig(
-        "vp/cifar10_ddpmpp", "ncsnpp", _ncsnpp(),
-        TrainingConfig(sde="vpsde", continuous=False,
-                       reduce_mean=True), _VP_SAMPLING),
-    "vp/cifar10_ddpmpp_deep_continuous": ExperimentConfig(
-        "vp/cifar10_ddpmpp_deep_continuous", "ncsnpp",
-        _ncsnpp(num_res_blocks=8),
-        TrainingConfig(sde="vpsde", continuous=True), _VP_SAMPLING),
-    "vp/ddpm/cifar10": ExperimentConfig(
-        "vp/ddpm/cifar10", "ddpm", DDPMConfig(),
-        TrainingConfig(sde="vpsde", continuous=False), _VP_SAMPLING),
-    "subvp/cifar10_ddpmpp_continuous": ExperimentConfig(
-        "subvp/cifar10_ddpmpp_continuous", "ncsnpp", _ncsnpp(),
-        TrainingConfig(sde="subvpsde", continuous=True,
-                       likelihood_weighting=False), _VP_SAMPLING),
-    "ve/cifar10_ncsnpp_continuous": ExperimentConfig(
-        "ve/cifar10_ncsnpp_continuous", "ncsnpp",
-        _ncsnpp(fir=True, embedding_type="fourier", scale_by_sigma=True),
-        TrainingConfig(sde="vesde", continuous=True, reduce_mean=False),
-        _VE_SAMPLING),
-    "ve/cifar10_ncsnpp_deep_continuous": ExperimentConfig(
-        "ve/cifar10_ncsnpp_deep_continuous", "ncsnpp",
-        _ncsnpp(fir=True, embedding_type="fourier", scale_by_sigma=True,
-                num_res_blocks=8),
-        TrainingConfig(sde="vesde", continuous=True, reduce_mean=False),
-        _VE_SAMPLING),
-    # 256px church/bedroom-style VE config (progressive paths exercised)
-    "ve/church_ncsnpp_continuous": ExperimentConfig(
-        "ve/church_ncsnpp_continuous", "ncsnpp",
-        _ncsnpp(image_size=256, ch_mult=(1, 1, 2, 2, 2, 2, 2),
-                num_res_blocks=2, attn_resolutions=(16,), fir=True,
-                embedding_type="fourier", scale_by_sigma=True,
-                progressive="output_skip", progressive_input="input_skip",
-                progressive_combine="sum"),
-        TrainingConfig(sde="vesde", continuous=True, reduce_mean=False,
-                       batch_size=64),
-        _VE_SAMPLING,
-        DataConfig(dataset="church", image_size=256)),
-    # reference configs/ve/celebahq_256_ncsnpp_continuous.py (sigma_max=348)
-    "ve/celebahq_256_ncsnpp_continuous": ExperimentConfig(
-        "ve/celebahq_256_ncsnpp_continuous", "ncsnpp",
-        _ncsnpp(image_size=256, ch_mult=(1, 1, 2, 2, 2, 2, 2),
-                num_res_blocks=2, attn_resolutions=(16,), fir=True,
-                embedding_type="fourier", scale_by_sigma=True),
-        TrainingConfig(sde="vesde", continuous=True, reduce_mean=False,
-                       batch_size=64),
-        _VE_SAMPLING,
-        DataConfig(dataset="celebahq", image_size=256)),
-    # reference configs/ve/cifar10_ddpm.py (DDPM backbone under VE)
-    "ve/cifar10_ddpm": ExperimentConfig(
-        "ve/cifar10_ddpm", "ddpm", DDPMConfig(scale_by_sigma=True),
-        TrainingConfig(sde="vesde", continuous=False, reduce_mean=False),
-        _VE_SAMPLING),
-    # reference configs/ve/ncsnv2/* (SMLD + ALD sampling)
-    "ve/ncsnv2/cifar10": ExperimentConfig(
-        "ve/ncsnv2/cifar10", "ncsnv2_64", NCSNv2Config(),
-        TrainingConfig(sde="vesde", continuous=False, reduce_mean=False,
-                       ema_rate=0.999),
-        SamplingConfig(predictor="none", corrector="ald", snr=0.176,
-                       n_steps_each=5)),
+    name: _build(name, entry) for name, entry in ZOO.items()
 }
 
 
