@@ -91,6 +91,10 @@ def train(cfg: TrainConfig) -> None:
     it = get_dataset(cfg.dataset, cfg.batch, data_dir=cfg.data_dir)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    # TB-compatible scalars + metrics.jsonl (reference run_lib.py:60-62)
+    from ..utils.metrics import MetricsWriter
+    metrics = MetricsWriter(cfg.workdir)
+
     t0, last = time.time(), start
     for i in range(start, cfg.n_iters):
         images, _ = next(it)
@@ -101,6 +105,8 @@ def train(cfg: TrainConfig) -> None:
             loss = float(loss)
             rate = (i - last) * cfg.batch / max(time.time() - t0, 1e-9)
             print(f"step {i:>8d} loss {loss:.5f} ({rate:.0f} img/s)")
+            metrics.scalar("training_loss", loss, i)
+            metrics.scalar("img_per_sec", rate, i)
             t0, last = time.time(), i
         if i and i % cfg.preemption_freq == 0:
             ckpt.save_meta(cfg.workdir, state)
@@ -110,6 +116,7 @@ def train(cfg: TrainConfig) -> None:
             if cfg.sample_at_snapshot:
                 _sample_snapshot(cfg, sde, model, state, pc_kw, i)
     ckpt.save_meta(cfg.workdir, state)
+    metrics.close()
 
 
 def _sample_snapshot(cfg, sde, model, state, pc_kw, step_i: int) -> None:

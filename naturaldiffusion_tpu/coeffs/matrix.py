@@ -63,6 +63,21 @@ class CoeffMatrix:
         assert sig_err.max() < atol, f"signal marginal off by {sig_err.max():g}"
         assert noi_err.max() < atol, f"noise marginal off by {noi_err.max():g}"
 
+    def check_finite(self, context: str = "") -> "CoeffMatrix":
+        """NaN guard (SURVEY §5 sanitizer row): the coefficient derivers run
+        log/sqrt/arccos chains in fp64 where a silently poisoned schedule
+        (e.g. negative beta, sigma=0) would emit NaN matrices and corrupt
+        everything downstream.  Raises instead."""
+        for name, arr in (("x0", self.x0), ("eps", self.eps),
+                          ("node", self.node)):
+            bad = ~np.isfinite(arr)
+            if bad.any():
+                idx = tuple(int(i[0]) for i in np.nonzero(bad))
+                raise FloatingPointError(
+                    f"non-finite coefficient in {context or 'CoeffMatrix'}."
+                    f"{name} at {idx} (value {arr[idx]!r})")
+        return self
+
     def row_normalized_x0(self) -> np.ndarray:
         """x0 rows rescaled so each row sums to the ideal alpha_t."""
         s = self.x0.sum(axis=1, keepdims=True)

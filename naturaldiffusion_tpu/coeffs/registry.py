@@ -43,4 +43,7 @@ DERIVERS: dict[str, DeriverSpec] = {
 
 
 def derive(name: str, num_step: int) -> CoeffMatrix:
-    return DERIVERS[name].fn(num_step)
+    """Derive + NaN-guard: a poisoned schedule raises FloatingPointError
+    here instead of silently emitting NaN matrices (SURVEY §5 sanitizers)."""
+    return DERIVERS[name].fn(num_step).check_finite(
+        context=f"{name}({num_step})")

@@ -216,6 +216,29 @@ def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
     return z[:m].reshape(shape).astype(acc)
 
 
+def natural_inference_checked(denoise_fn, sched: NISchedule, init_noise,
+                              **kwargs):
+    """NaN-guarded NI (SURVEY §5 sanitizer row): the scan under
+    ``jax.experimental.checkify`` float checks.  Returns the final state and
+    *throws* ``JaxRuntimeError`` if any step produced NaN/inf — a poisoned
+    schedule or diverging model fails loudly instead of emitting NaN images.
+
+    ~2x slower than :func:`natural_inference` (error plumbing through the
+    scan carry); use for validation/debug runs, not the bench path."""
+    from jax.experimental import checkify
+
+    def run(z):
+        out = natural_inference(denoise_fn, sched, z, **kwargs)
+        checkify.check(jnp.isfinite(out).all(),
+                       "natural_inference produced non-finite output")
+        return out
+
+    checked = checkify.checkify(run, errors=checkify.float_checks)
+    err, out = jax.jit(checked)(init_noise)
+    err.throw()
+    return out
+
+
 def natural_inference_reference(
     denoise_fn, matrix: CoeffMatrix, init_noise: np.ndarray,
     *, noises: np.ndarray | None = None, prediction_type: str = "x0",
