@@ -114,11 +114,57 @@ def sd3_natural_inference_host(model, params, noises, weights, *, context,
     return weighted_sum(seq_x0)
 
 
+def _encode_prompt_from_ids(args):
+    """Native SD3 encode_prompt: token-ids npz + converted HF text-encoder
+    weights -> (ctx, pooled, neg_ctx, neg_pooled)."""
+    from ..models.convert import fill_from_torch, load_torch_checkpoint
+    from ..models.text_encoders import (CLIPTextEncoder, T5Encoder,
+                                        CLIP_L_SD3, CLIP_G_SD3, T5_XXL,
+                                        clip_torch_path_map,
+                                        t5_torch_path_map, sd3_encode_prompt)
+
+    with np.load(args.ids) as f:
+        ids = {k: jnp.asarray(f[k]) for k in f.files}
+
+    def load_enc(model, path, path_map, probe_ids):
+        template = model.init(jax.random.PRNGKey(0), probe_ids)["params"]
+        if path:
+            sd = load_torch_checkpoint(path)
+            template, _ = fill_from_torch(template, sd, path_map=path_map)
+        else:
+            print("WARNING: random text-encoder weights (smoke mode)")
+        return template
+
+    cl = CLIPTextEncoder(config=CLIP_L_SD3)
+    cg = CLIPTextEncoder(config=CLIP_G_SD3)
+    pl = load_enc(cl, args.clip_l, clip_torch_path_map, ids["ids_l"][:1])
+    pg = load_enc(cg, args.clip_g, clip_torch_path_map, ids["ids_g"][:1])
+    t5 = params_t5 = None
+    if "ids_t5" in ids:
+        t5 = T5Encoder(config=T5_XXL)
+        params_t5 = load_enc(t5, args.t5, t5_torch_path_map,
+                             ids["ids_t5"][:1])
+
+    ctx, pooled = sd3_encode_prompt(
+        cl, pl, ids["ids_l"], cg, pg, ids["ids_g"],
+        t5, params_t5, ids.get("ids_t5"))
+    nctx, npooled = sd3_encode_prompt(
+        cl, pl, ids["neg_ids_l"], cg, pg, ids["neg_ids_g"],
+        t5, params_t5, ids.get("neg_ids_t5"))
+    return ctx, pooled, nctx, npooled
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--weights", default=None,
                    help="weight CSV (weights/sd3_step_28_weight[_sharp].csv)")
     p.add_argument("--embeds", default=None, help="precomputed text embeds npz")
+    p.add_argument("--ids", default=None,
+                   help="token-ids npz (ids_l/ids_g/ids_t5 + neg_*) for the "
+                        "native encode_prompt path")
+    p.add_argument("--clip-l", default=None, help="CLIP-L torch weights")
+    p.add_argument("--clip-g", default=None, help="CLIP-G torch weights")
+    p.add_argument("--t5", default=None, help="T5-XXL encoder torch weights")
     p.add_argument("--ckpt", default=None, help="converted MMDiT weights")
     p.add_argument("--vae", default=None, help="converted SD3 VAE weights")
     p.add_argument("--steps", type=int, default=28)
@@ -146,6 +192,11 @@ def main(argv=None) -> int:
             pooled = jnp.asarray(f["pooled"])
             nctx = jnp.asarray(f["negative_prompt_embeds"])
             npooled = jnp.asarray(f["negative_pooled"])
+    elif args.ids:
+        # native encode_prompt: Flax CLIP-L/CLIP-G/T5 on token ids
+        # (src/SD3NaturalInference.py:175-184 rebuilt; tokenization to ids
+        # stays external -- BPE/sentencepiece vocab assets)
+        ctx, pooled, nctx, npooled = _encode_prompt_from_ids(args)
     else:
         k1, k2 = jax.random.split(key)
         ctx = jax.random.normal(k1, (b, 77, cfg.joint_attention_dim)) * 0.02
