@@ -27,7 +27,32 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .dit import get_2d_sincos_pos_embed, timestep_embedding
+import numpy as np
+
+from .dit import timestep_embedding
+
+
+def sd3_cropped_pos_embed(embed_dim: int, gh: int, gw: int,
+                          max_size: int, base_size: int) -> np.ndarray:
+    """diffusers ``PatchEmbed`` positions for SD3: an MAE sin/cos table over
+    ``pos_embed_max_size`` with grid coords scaled by ``base_size/max_size``
+    (interpolation_scale=1), CENTER-cropped to the actual grid — the crop
+    offset changes the values, so generating a fresh ``gh``-table (the DiT
+    convention) does NOT match the HF checkpoint's buffer."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    coords = np.arange(max_size, dtype=np.float32) / (max_size / base_size)
+    grid = np.stack(np.meshgrid(coords, coords), axis=0)      # w first
+    emb = np.concatenate([_1d(embed_dim // 2, grid[0]),
+                          _1d(embed_dim // 2, grid[1])], axis=1)
+    emb = emb.reshape(max_size, max_size, embed_dim)
+    top = (max_size - gh) // 2
+    left = (max_size - gw) // 2
+    return emb[top:top + gh, left:left + gw].reshape(gh * gw, embed_dim)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,7 +112,12 @@ class JointBlock(nn.Module):
             return v * (1 + sc[:, None, :]) + sh[:, None, :]
 
         x_in = moded(ln(x), sh1, sc1)
-        c_in = moded(ln(ctx), cmods[0], cmods[1])
+        if self.context_pre_only:
+            # diffusers AdaLayerNormContinuous chunks (scale, shift) — the
+            # REVERSE of AdaLayerNormZero's (shift, scale, ...) order
+            c_in = moded(ln(ctx), cmods[1], cmods[0])
+        else:
+            c_in = moded(ln(ctx), cmods[0], cmods[1])
 
         def heads(v):
             b, t, _ = v.shape
@@ -152,9 +182,10 @@ class MMDiT(nn.Module):
 
         tok = nn.Conv(d, (p, p), strides=(p, p), padding="VALID",
                       name="pos_embed_proj")(x).reshape(b, gh * gw, d)
-        # cropped fixed sin/cos table (HF stores a pos_embed_max_size table
-        # and crops the center; same values for the table we generate)
-        pos = get_2d_sincos_pos_embed(d, gh)
+        # center-cropped scaled sin/cos table — bit-equal to the HF
+        # checkpoint's generated pos_embed buffer (see sd3_cropped_pos_embed)
+        pos = sd3_cropped_pos_embed(d, gh, gw, cfg.pos_embed_max_size,
+                                    cfg.sample_size // p)
         tok = tok + jnp.asarray(pos, tok.dtype)[None]
 
         c = TimestepTextEmbed(d, name="time_text_embed")(t, pooled)
@@ -171,7 +202,8 @@ class MMDiT(nn.Module):
 
         mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
                        name="norm_out_linear")(nn.silu(c))
-        shift, scale = jnp.split(mod, 2, axis=-1)
+        # AdaLayerNormContinuous order: (scale, shift)
+        scale, shift = jnp.split(mod, 2, axis=-1)
         tok = nn.LayerNorm(use_bias=False, use_scale=False,
                            epsilon=1e-6)(tok)
         tok = tok * (1 + scale[:, None, :]) + shift[:, None, :]

@@ -61,12 +61,18 @@ def _install_timm_stub():
         def forward(self, x):
             return self.fc2(self.act(self.fc1(x)))
 
+    import importlib.machinery
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     vit = types.ModuleType("timm.models.vision_transformer")
     vit.PatchEmbed, vit.Attention, vit.Mlp = PatchEmbed, Attention, Mlp
     models.vision_transformer = vit
     timm.models = models
+    for mod in (timm, models, vit):
+        # a None __spec__ breaks transformers' lazy availability probes
+        # (importlib.util.find_spec) in later tests sharing the process
+        mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = models
     sys.modules["timm.models.vision_transformer"] = vit

@@ -115,8 +115,14 @@ def test_sd3_app_smoke(tmp_path):
 
 
 def test_sd3_weighted_sum_normalization():
-    from naturaldiffusion_tpu.apps.sd3_ni import weighted_sum
-    seq = [jnp.ones((2, 2)) * 1.0, jnp.ones((2, 2)) * 3.0]
-    w = np.array([[1.0, 0.0], [0.5, 0.5]])
-    out = np.asarray(weighted_sum(seq, w))
-    np.testing.assert_allclose(out, 2.0)   # (0.5*1 + 0.5*3) / 1.0
+    """Row-sum normalization now lives in the CoeffMatrix lift
+    (reference ``weighted_sum``, ``src/SD3NaturalInference.py:157-168``)."""
+    from naturaldiffusion_tpu.coeffs.sd3 import (sd3_weight_matrix,
+                                                 flow_match_sigmas)
+    w = np.array([[1.0, 0.0], [1.0, 3.0]])
+    m = sd3_weight_matrix(w, 2)
+    _, sigmas = flow_match_sigmas(2)
+    # row k scaled by (1 - sigma_{k+1}); raw row [1, 3] normalizes to
+    # [0.25, 0.75]
+    np.testing.assert_allclose(m.x0[1], (1 - sigmas[2]) * np.r_[0.25, 0.75])
+    np.testing.assert_allclose(m.eps[:, 0], sigmas[1:])
