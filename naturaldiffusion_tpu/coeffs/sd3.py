@@ -34,6 +34,24 @@ def flow_match_sigmas(num_step: int, *, shift: float = 3.0,
     return timesteps, np.append(sigmas, 0.0)
 
 
+def sd3_euler_weights(num_step: int = 28, *, shift: float = 3.0,
+                      cliplen: int = 0) -> np.ndarray:
+    """Vanilla flow-Euler as NI weights (``sd_euler_natural_inference_tx``,
+    ``src/SD3NaturalInference.py:61-130``): column j carries the Euler
+    increment ``sigma_j - sigma_{j+1}``, so the row sums telescope to
+    ``1 - sigma_{k+1}`` and the NI trajectory equals the Euler recursion
+    ``z_{k+1} = z_k + (sigma_k - sigma_{k+1}) (x0_k - eps)`` exactly.
+    ``cliplen > 0`` keeps only the last ``cliplen`` diagonals (the
+    reference's sharpness-control clipping knob)."""
+    _, sigmas = flow_match_sigmas(num_step, shift=shift)
+    incr = sigmas[:-1] - sigmas[1:]                   # [n], > 0
+    w = np.tril(np.broadcast_to(incr[None, :], (num_step, num_step)).copy())
+    if cliplen > 0:
+        w *= (np.arange(num_step)[None, :]
+              > np.arange(num_step)[:, None] - cliplen)
+    return w
+
+
 def sd3_weight_matrix(weights: np.ndarray, num_step: int = 28, *,
                       shift: float = 3.0) -> CoeffMatrix:
     """Lift a (possibly "sharp") SD3 weight CSV matrix into a CoeffMatrix.

@@ -88,3 +88,46 @@ def test_zero_row_raises():
     w[3] = 0.0
     with pytest.raises(ValueError, match="all-zero row"):
         sd3_weight_matrix(w, 6)
+
+
+def test_euler_weights_equal_direct_euler():
+    """NI with the Euler-increment weight matrix == the vanilla Euler
+    recursion in the (x0 - eps) form (``src/SD3NaturalInference.py:72-80``);
+    the rows telescope to 1 - sigma_{k+1}."""
+    import jax
+    from naturaldiffusion_tpu.coeffs.sd3 import (sd3_euler_weights,
+                                                 sd3_weight_matrix,
+                                                 flow_match_sigmas)
+    from naturaldiffusion_tpu.engine import NISchedule, natural_inference
+
+    n = 12
+    w = sd3_euler_weights(n)
+    m = sd3_weight_matrix(w, n)
+    _, sigmas = flow_match_sigmas(n)
+    np.testing.assert_allclose(m.x0.sum(axis=1), 1.0 - sigmas[1:],
+                               atol=1e-12)
+
+    model, params, noises, cond = _setup()
+
+    # an arbitrary (t-dependent) x0 predictor exercises the identity beyond
+    # the consistent-model special case
+    def x0_fn(z, t):
+        return 0.8 * z + 0.01 * t / 1000.0
+
+    sched = NISchedule.from_matrix(m)
+    got = jax.jit(lambda z: natural_inference(
+        lambda z, t: x0_fn(z, t), sched, z, prediction_type="x0"))(noises)
+
+    timesteps, sigmas = flow_match_sigmas(n)
+    z = noises
+    for k in range(n):
+        x0 = x0_fn(z, timesteps[k])
+        z = z + float(sigmas[k] - sigmas[k + 1]) * (x0 - noises)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(z),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_euler_weights_cliplen_bands():
+    from naturaldiffusion_tpu.coeffs.sd3 import sd3_euler_weights
+    w = sd3_euler_weights(6, cliplen=2)
+    assert np.count_nonzero(w[4]) == 2 and w[4, 3] != 0 and w[4, 2] == 0
