@@ -43,10 +43,19 @@ def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
                     warmup: int = 5000, grad_clip: float = 1.0,
                     reduce_mean: bool = True,
                     likelihood_weighting: bool = False,
-                    continuous: bool = True):
+                    continuous: bool = True,
+                    remat: bool = False):
     """Returns (init_fn(params) -> TrainState, step_fn(state, key, batch) ->
-    (state, loss)).  ``apply_fn(params, x, t_label) -> model output``."""
+    (state, loss)).  ``apply_fn(params, x, t_label) -> model output``.
+
+    ``remat=True`` wraps the model in ``jax.checkpoint`` — recompute
+    activations in the backward pass instead of storing them (the standard
+    HBM/FLOPs trade for transformer-scale models; the 62M NCSN++ doesn't
+    need it, a 2B MMDiT does).  Jit the returned ``step_fn`` with
+    ``donate_argnums=(0,)`` so the old TrainState's buffers are reused."""
     tx = make_optimizer(lr=lr, warmup=warmup, grad_clip=grad_clip)
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def init_fn(params) -> TrainState:
         return TrainState.create(params, tx)
