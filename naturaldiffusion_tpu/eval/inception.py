@@ -193,11 +193,19 @@ class FIDInceptionV3(nn.Module):
 def convert_fid_inception_state(sd, template=None):
     """Convert a pytorch-fid/torchvision inception ``state_dict`` (flat
     name->tensor mapping, in memory) to the flax tree.  BN leaf mapping:
-    scale<-weight, bias<-bias, mean<-running_mean, var<-running_var."""
+    scale<-weight, bias<-bias, mean<-running_mean, var<-running_var.
+    The 1008-way ``fc`` head is kept when the template has one
+    (``with_logits=True``, the IS path) and dropped otherwise."""
     from ..models.convert import fill_from_torch
 
+    if template is None:
+        model = FIDInceptionV3()
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3)))["params"]
+    keep_fc = "fc" in template
     sd = {k: v for k, v in sd.items()
-          if not k.startswith(("fc.", "AuxLogits."))
+          if not k.startswith("AuxLogits.")
+          and (keep_fc or not k.startswith("fc."))
           and "num_batches_tracked" not in k}
     # rename BN stats to the flax leaves
     renamed = {}
@@ -205,10 +213,6 @@ def convert_fid_inception_state(sd, template=None):
         k = k.replace(".running_mean", ".mean").replace(".running_var", ".var")
         renamed[k] = v
 
-    if template is None:
-        model = FIDInceptionV3()
-        template = model.init(jax.random.PRNGKey(0),
-                              jnp.zeros((1, 32, 32, 3)))["params"]
     params, unused = fill_from_torch(template, renamed)
     return params, unused
 

@@ -49,3 +49,24 @@ def test_feature_parity_rect_input(twin_and_params):
     got = np.asarray(FIDInceptionV3().apply({"params": params},
                                             jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_logits_parity_for_is(twin_and_params):
+    """with_logits=True converts the fc head too (the IS path)."""
+    twin, _ = twin_and_params
+    import jax
+    model = FIDInceptionV3(with_logits=True)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    params, unused = convert_fid_inception_state(
+        {k: v for k, v in twin.state_dict().items()}, template=template)
+    assert unused == [], unused
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    want_pool, want_logits = twin.features_and_logits(
+        torch.from_numpy(x).permute(0, 3, 1, 2))
+    got_pool, got_logits = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_pool), want_pool.numpy(),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
+                               atol=5e-3, rtol=5e-3)

@@ -165,6 +165,7 @@ class TorchFIDInception(nn.Module):
         self.Mixed_7a = InceptionD(768)
         self.Mixed_7b = FIDInceptionE(1280, "avg")
         self.Mixed_7c = FIDInceptionE(2048, "max")
+        self.fc = nn.Linear(2048, 1008)      # the IS logits head
 
     @torch.no_grad()
     def features(self, x01):
@@ -185,6 +186,11 @@ class TorchFIDInception(nn.Module):
                     self.Mixed_7b, self.Mixed_7c):
             x = blk(x)
         return x.mean(dim=(2, 3))
+
+    @torch.no_grad()
+    def features_and_logits(self, x01):
+        pool = self.features(x01)
+        return pool, self.fc(pool)
 
 
 def random_twin(seed: int = 0) -> TorchFIDInception:
