@@ -39,9 +39,13 @@ def load_params(ckpt: str | None, model, rng):
 
 
 def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
-                 dtype=jnp.bfloat16):
+                 micro: int = 64, dtype=jnp.bfloat16):
     """One jitted NI executable; score -> x0 conversion inside the engine
-    (`data_fn`, src/CIFAR10NaturalInference.py:219-230)."""
+    (`data_fn`, src/CIFAR10NaturalInference.py:219-230).
+
+    ``micro``: images per VMEM-resident chunk, mapped serially inside the
+    jit — 64 keeps the inter-fusion working set on-chip (717 vs ~550
+    img/s device rate at batch 512 on v5e; PERF.md)."""
     sched = NISchedule.from_matrix(matrix)
     p = jax.tree.map(lambda a: a.astype(dtype), params)
 
@@ -49,9 +53,19 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
         return model.apply({"params": p}, z.astype(dtype),
                            jnp.full((z.shape[0],), t, jnp.float32))
 
-    def run(init, key):
+    def one(init, key):
         return natural_inference(eps_fn, sched, init, key=key,
                                  prediction_type="eps", model_dtype=dtype)
+
+    def run(init, key):
+        bb = init.shape[0]           # static at trace time (tail batches)
+        if not micro or bb % micro or bb <= micro:
+            return one(init, key)
+        nchunk = bb // micro
+        zs = init.reshape(nchunk, micro, *init.shape[1:])
+        keys = jax.random.split(key, nchunk)
+        out = jax.lax.map(lambda zk: one(zk[0], zk[1]), (zs, keys))
+        return out.reshape(init.shape)
 
     return jax.jit(run)
 
@@ -65,6 +79,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--num", type=int, default=512)
     p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--micro", type=int, default=64,
+                   help="VMEM-resident chunk size inside the jit (0=off)")
     p.add_argument("--seed", type=int, default=888)   # the reference seed
     p.add_argument("--outdir", default="samples")
     p.add_argument("--fid-stats", default=None,
@@ -78,7 +94,8 @@ def main(argv=None) -> int:
     params = load_params(args.ckpt, model, jax.random.PRNGKey(0))
 
     mesh = make_mesh()
-    run = make_sampler(params, model, matrix, batch=args.batch)
+    run = make_sampler(params, model, matrix, batch=args.batch,
+                       micro=args.micro)
 
     key = jax.random.PRNGKey(args.seed)
     images = []

@@ -50,10 +50,23 @@ def _model(args):
     return raw
 
 
+def _microbatch(fn, micro: int):
+    """Map the sampler over VMEM-resident chunks inside the jit
+    (64-image chunks: ~30% device-rate win on v5e, PERF.md)."""
+    def run(x):
+        bb = x.shape[0]
+        if not micro or bb % micro or bb <= micro:
+            return fn(x)
+        zs = x.reshape(bb // micro, micro, *x.shape[1:])
+        return jax.lax.map(fn, zs).reshape(x.shape)
+    return run
+
+
 def _sample_cells(args, cells, build_sampler):
     rows = []
     for cell in cells:
-        sampler = jax.jit(build_sampler(cell))
+        sampler = jax.jit(_microbatch(build_sampler(cell),
+                                      getattr(args, "micro", 64)))
         key = jax.random.PRNGKey(args.seed)
         imgs, t0 = [], None
         done = 0
@@ -149,6 +162,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--num", type=int, default=512)
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--micro", type=int, default=64,
+                   help="VMEM-resident chunk size inside the jit (0=off)")
     p.add_argument("--seed", type=int, default=888)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--fid-stats", default=None)

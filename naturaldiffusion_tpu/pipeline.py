@@ -1,0 +1,102 @@
+"""SD3Pipeline — the user-facing front door for SD3 Natural Inference.
+
+The reference drives everything through diffusers'
+``StableDiffusion3Pipeline`` (``src/SD3NaturalInference.py:175-243``):
+encode_prompt -> 28 transformer steps -> VAE decode.  This is that surface
+on the TPU-native stack: the three Flax text encoders, the MMDiT, the NI
+engine (ONE jitted executable per (steps, weights) configuration) and the
+VAE, assembled from converted HF weights or random init (smoke mode).
+
+    pipe = SD3Pipeline.from_parts(mmdit=..., params=..., vae=..., ...)
+    images = pipe(ids or embeds, num_steps=28, weights=sharp_csv_matrix)
+
+Tokenization to ids stays external (BPE/sentencepiece vocab assets); both
+precomputed embeddings and token-ids conditioning are accepted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coeffs.sd3 import sd3_weight_matrix, sd3_euler_weights
+from .engine import NISchedule, natural_inference
+
+
+@dataclasses.dataclass
+class SD3Pipeline:
+    """Assembled SD3 stack.  Every part optional except the transformer:
+    without text encoders pass embeddings; without a VAE latents return."""
+
+    mmdit: Any
+    mmdit_params: Any
+    vae: Any = None
+    vae_params: Any = None
+    clip_l: Any = None
+    clip_l_params: Any = None
+    clip_g: Any = None
+    clip_g_params: Any = None
+    t5: Any = None
+    t5_params: Any = None
+    cfg_scale: float = 7.0
+    shift: float = 3.0
+
+    @classmethod
+    def from_parts(cls, **kw) -> "SD3Pipeline":
+        return cls(**kw)
+
+    # -- conditioning -------------------------------------------------------
+
+    def encode_prompt(self, ids_l, ids_g, ids_t5=None):
+        """Token ids -> (prompt_embeds, pooled) via the Flax encoders."""
+        from .models.text_encoders import sd3_encode_prompt
+        if self.clip_l is None or self.clip_g is None:
+            raise ValueError("pipeline has no text encoders; pass embeds")
+        return sd3_encode_prompt(
+            self.clip_l, self.clip_l_params, ids_l,
+            self.clip_g, self.clip_g_params, ids_g,
+            self.t5, self.t5_params, ids_t5,
+            joint_dim=self.mmdit.config.joint_attention_dim)
+
+    # -- sampling -----------------------------------------------------------
+
+    def __call__(self, *, noises, context, pooled, neg_context, neg_pooled,
+                 num_steps: int = 28, weights: np.ndarray | None = None,
+                 decode: bool = True, key=None):
+        """Run Natural Inference; ``weights`` defaults to the vanilla-Euler
+        matrix (exact Euler sampling); pass the learned/sharp CSV matrices
+        for sharpness control.  Returns decoded images (VAE present and
+        ``decode``) or latents."""
+        if weights is None:
+            weights = sd3_euler_weights(num_steps, shift=self.shift)
+        sched = NISchedule.from_matrix(
+            sd3_weight_matrix(weights, num_steps, shift=self.shift))
+
+        ctx2 = jnp.concatenate([context, neg_context], axis=0)
+        pool2 = jnp.concatenate([pooled, neg_pooled], axis=0)
+        params = self.mmdit_params
+        model = self.mmdit
+        cfg_scale = self.cfg_scale
+
+        def fwd(z, t):
+            b = z.shape[0]
+            z2 = jnp.concatenate([z, z], axis=0)
+            t2 = jnp.full((2 * b,), t, z.dtype)
+            v2 = model.apply({"params": params}, z2, t2, ctx2, pool2)
+            return v2[b:] + cfg_scale * (v2[:b] - v2[b:])
+
+        run = jax.jit(lambda z: natural_inference(
+            fwd, sched, z, prediction_type="v_flow"))
+        latents = run(noises)
+
+        if decode and self.vae is not None:
+            from .models.vae import AutoencoderKL
+            return self.vae.apply(
+                {"params": self.vae_params},
+                self.vae.unscale_latents(latents),
+                method=AutoencoderKL.decode)
+        return latents

@@ -1,0 +1,93 @@
+"""SD3Pipeline facade: encoders -> MMDiT NI -> VAE, tiny configs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naturaldiffusion_tpu.pipeline import SD3Pipeline
+from naturaldiffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
+from naturaldiffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+from naturaldiffusion_tpu.models.text_encoders import (CLIPTextConfig,
+                                                       CLIPTextEncoder,
+                                                       T5Config, T5Encoder)
+
+MM = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4, hidden_size=64,
+                 depth=2, num_heads=4, caption_projection_dim=64,
+                 joint_attention_dim=96, pooled_projection_dim=128,
+                 pos_embed_max_size=8)
+VA = VAEConfig(base_channels=32, ch_mult=(1, 2), layers_per_block=1,
+               latent_channels=4, scaling_factor=1.5305, shift_factor=0.0609)
+CL = CLIPTextConfig(vocab_size=100, hidden_size=48, num_layers=2,
+                    num_heads=4, intermediate_size=96, max_positions=16,
+                    projection_dim=64)
+CG = dataclasses.replace(CL, hidden_size=48, projection_dim=64,
+                         hidden_act="gelu")
+T5 = T5Config(vocab_size=100, d_model=96, d_kv=24, d_ff=128, num_layers=2,
+              num_heads=4)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    mm = MMDiT(config=MM)
+    mp = mm.init(ks[0], jnp.zeros((1, 8, 8, 4)), jnp.zeros(1),
+                 jnp.zeros((1, 4, 96)), jnp.zeros((1, 128)))["params"]
+    vae = AutoencoderKL(config=VA)
+    vp = vae.init(ks[1], jnp.zeros((1, 16, 16, 3)))["params"]
+    cl = CLIPTextEncoder(config=CL)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    clp = cl.init(ks[2], ids)["params"]
+    cg = CLIPTextEncoder(config=CG)
+    cgp = cg.init(ks[3], ids)["params"]
+    t5 = T5Encoder(config=T5)
+    t5p = t5.init(ks[4], ids)["params"]
+    return SD3Pipeline.from_parts(
+        mmdit=mm, mmdit_params=mp, vae=vae, vae_params=vp,
+        clip_l=cl, clip_l_params=clp, clip_g=cg, clip_g_params=cgp,
+        t5=t5, t5_params=t5p)
+
+
+def test_full_text_to_image(pipe):
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 90, (2, 8)))
+    ids_t5 = jnp.asarray(rng.integers(0, 90, (2, 10)))
+    ctx, pooled = pipe.encode_prompt(ids, ids, ids_t5)
+    assert ctx.shape == (2, 8 + 10, 96)
+    assert pooled.shape == (2, 128)
+    nctx, npooled = pipe.encode_prompt(jnp.zeros_like(ids),
+                                       jnp.zeros_like(ids),
+                                       jnp.zeros_like(ids_t5))
+    noises = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    imgs = pipe(noises=noises, context=ctx, pooled=pooled,
+                neg_context=nctx, neg_pooled=npooled, num_steps=4)
+    # 8x8 latents -> VAE x2 upsample (one level pair) -> 16x16 RGB
+    assert imgs.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_latents_mode_and_sharp_weights(pipe):
+    rng = np.random.default_rng(1)
+    noises = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    ctx = jnp.asarray(rng.normal(size=(1, 6, 96)), jnp.float32)
+    pooled = jnp.asarray(rng.normal(size=(1, 128)), jnp.float32)
+    w = np.tril(rng.uniform(0.1, 1.0, (6, 6)))
+    lat = pipe(noises=noises, context=ctx, pooled=pooled,
+               neg_context=jnp.zeros_like(ctx),
+               neg_pooled=jnp.zeros_like(pooled),
+               num_steps=6, weights=w, decode=False)
+    assert lat.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_no_encoders_raises():
+    mm = MMDiT(config=MM)
+    mp = mm.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                 jnp.zeros(1), jnp.zeros((1, 4, 96)),
+                 jnp.zeros((1, 128)))["params"]
+    p = SD3Pipeline.from_parts(mmdit=mm, mmdit_params=mp)
+    with pytest.raises(ValueError, match="no text encoders"):
+        p.encode_prompt(jnp.zeros((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
