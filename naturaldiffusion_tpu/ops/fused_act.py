@@ -19,6 +19,13 @@ Two paths:
 Autodiff: plain jnp is differentiated by JAX (incl. double-backward) — the
 reference needed three hand-written CUDA variants (act*10+grad switch) for
 fwd/bwd/double-bwd; here they come for free.
+
+Wiring note: in the reference itself NO model imports this op — only
+``op/__init__.py`` re-exports it (``grep FusedLeakyReLU models/`` is empty;
+it is StyleGAN2 vendor code carried along by score_sde).  The NCSN++ FIR
+path uses plain ``silu``.  This port matches that surface: implemented,
+tested, exported — and deliberately not spliced into a forward path the
+reference never used it in.
 """
 
 from __future__ import annotations
