@@ -60,6 +60,7 @@ class TrainConfig:
     ch_mult: tuple = (1, 2, 2, 2)
     num_res_blocks: int = 4
     seed: int = 42
+    donate: bool = False
 
 
 def train(cfg: TrainConfig) -> None:
@@ -87,9 +88,11 @@ def train(cfg: TrainConfig) -> None:
     state = ckpt.restore(cfg.workdir, state)     # preemption resume
     start = int(jax.device_get(state.step))
 
-    # donate the carried TrainState: params/opt/EMA buffers are reused
-    # in place instead of doubling HBM peak
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    # donate the carried TrainState: params/opt/EMA buffers are reused in
+    # place instead of doubling HBM peak.  Opt-in: standard TPU runtimes
+    # support it, but the axon tunnel backend rejects donated executions
+    # (INVALID_ARGUMENT at result fetch — found by the on-hardware smoke)
+    step = jax.jit(step_fn, donate_argnums=(0,) if cfg.donate else ())
     it = get_dataset(cfg.dataset, cfg.batch, data_dir=cfg.data_dir)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -190,6 +193,9 @@ def main(argv=None) -> int:
     p.add_argument("--snapshot-freq", type=int, default=50_000)
     p.add_argument("--preemption-freq", type=int, default=10_000)
     p.add_argument("--log-freq", type=int, default=50)
+    p.add_argument("--donate", action="store_true",
+                   help="donate the TrainState buffers (halves HBM peak; "
+                        "not supported by the axon tunnel backend)")
     p.add_argument("--nf", type=int, default=128)
     p.add_argument("--ch-mult", type=lambda s: tuple(
         int(x) for x in s.split(",")), default=(1, 2, 2, 2))
@@ -206,7 +212,8 @@ def main(argv=None) -> int:
         preemption_freq=args.preemption_freq, log_freq=args.log_freq,
         nf=args.nf, ch_mult=args.ch_mult,
         num_res_blocks=args.num_res_blocks,
-        sample_at_snapshot=not args.no_snapshot_samples, bpd=args.bpd)
+        sample_at_snapshot=not args.no_snapshot_samples, bpd=args.bpd,
+        donate=args.donate)
     (train if args.mode == "train" else evaluate)(cfg)
     return 0
 

@@ -66,14 +66,52 @@ def synthetic_iterator(batch_size: int, *, shape=(32, 32, 3),
         yield scaler(imgs), labels
 
 
+# dataset -> (default image size, image-folder preprocessing mode) for the
+# reference's non-CIFAR datasets (datasets.py:44-139 semantics)
+_FOLDER_DATASETS = {
+    "celeba": (64, "celeba"),
+    "lsun": (256, "crop_resize"),
+    "church": (256, "crop_resize"),
+    "bedroom": (128, "lsun_small"),
+    "celebahq": (256, "crop_resize"),
+}
+
+
 def get_dataset(name: str, batch_size: int, *, data_dir: str | None = None,
-                centered: bool = True, **kw) -> Iterator:
-    """Registry entry point (reference ``get_dataset``, ``datasets.py:71``)."""
+                centered: bool = True, image_size: int | None = None,
+                **kw) -> Iterator:
+    """Registry entry point (reference ``get_dataset``, ``datasets.py:71``).
+
+    * ``cifar10`` — the binary release through the native C++ loader;
+    * ``celeba``/``lsun``/``church``/``bedroom``/``celebahq`` — an image
+      directory through the PIL pipeline with the reference's crop/resize
+      mode, OR ``.tfrecords`` files through the pure-numpy TFRecord reader;
+    * ``ffhq`` — TFRecords (the reference's only FFHQ form);
+    * ``synthetic`` — shape-compatible stand-in (no data on disk).
+    Falls back to synthetic at the right shape when ``data_dir`` is empty.
+    """
+    kw.pop("split", None) if name != "cifar10" else None
     if name == "cifar10":
         if data_dir and glob.glob(os.path.join(data_dir, "*_batch*.bin")):
             return cifar10_iterator(data_dir, batch_size, centered=centered,
                                     **kw)
         return synthetic_iterator(batch_size, shape=(32, 32, 3),
+                                  centered=centered)
+    if name in _FOLDER_DATASETS or name == "ffhq":
+        default_size, mode = _FOLDER_DATASETS.get(name, (256, "resize"))
+        size = image_size or default_size
+        if data_dir:
+            recs = glob.glob(os.path.join(data_dir, "*.tfrecord*"))
+            if recs or name == "ffhq":
+                from .tfrecord import tfrecord_iterator
+                return tfrecord_iterator(sorted(recs), batch_size,
+                                         centered=centered, **kw)
+            from .image_folder import image_folder_iterator, list_images
+            if list_images(data_dir):
+                return image_folder_iterator(
+                    data_dir, batch_size, image_size=size, mode=mode,
+                    centered=centered, **kw)
+        return synthetic_iterator(batch_size, shape=(size, size, 3),
                                   centered=centered)
     if name == "synthetic":
         return synthetic_iterator(batch_size, centered=centered, **kw)

@@ -1,0 +1,110 @@
+"""Pure-numpy TFRecord/Example reader vs TensorFlow-serialized goldens,
+plus the PIL image-folder pipeline semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from naturaldiffusion_tpu.data.tfrecord import (parse_example, iter_tfrecord,
+                                                load_chw_image_records,
+                                                tfrecord_iterator)
+
+
+@pytest.fixture(scope="module")
+def golden_records(tmp_path_factory):
+    """FFHQ-layout records written by TensorFlow itself (the generator the
+    reference's tfrecords came from)."""
+    tf = pytest.importorskip("tensorflow")
+    d = tmp_path_factory.mktemp("tfr")
+    path = str(d / "ffhq-r03.tfrecords")
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (3, 8, 8), dtype=np.uint8)
+            for _ in range(5)]
+    with tf.io.TFRecordWriter(path) as w:
+        for img in imgs:
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                "shape": tf.train.Feature(int64_list=tf.train.Int64List(
+                    value=img.shape)),
+                "data": tf.train.Feature(bytes_list=tf.train.BytesList(
+                    value=[img.tobytes()])),
+            }))
+            w.write(ex.SerializeToString())
+    return path, imgs
+
+
+def test_parse_example_matches_tf(golden_records):
+    path, imgs = golden_records
+    payloads = list(iter_tfrecord(path))
+    assert len(payloads) == 5
+    ex = parse_example(payloads[2])
+    assert [int(s) for s in ex["shape"]] == [3, 8, 8]
+    got = np.frombuffer(ex["data"][0], np.uint8).reshape(3, 8, 8)
+    np.testing.assert_array_equal(got, imgs[2])
+
+
+def test_load_chw_records_transposes(golden_records):
+    path, imgs = golden_records
+    recs = load_chw_image_records([path])
+    assert recs[0].shape == (8, 8, 3)
+    np.testing.assert_array_equal(recs[1], np.transpose(imgs[1], (1, 2, 0)))
+
+
+def test_tfrecord_iterator_batches(golden_records):
+    path, _ = golden_records
+    it = tfrecord_iterator([path], 4, random_flip=False, centered=True)
+    x, y = next(it)
+    assert x.shape == (4, 8, 8, 3) and y.shape == (4,)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_float_and_varint_features():
+    tf = pytest.importorskip("tensorflow")
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "f": tf.train.Feature(float_list=tf.train.FloatList(
+            value=[1.5, -2.25])),
+        "i": tf.train.Feature(int64_list=tf.train.Int64List(
+            value=[0, 300, 2 ** 40])),
+    }))
+    got = parse_example(ex.SerializeToString())
+    np.testing.assert_allclose(got["f"], [1.5, -2.25])
+    assert got["i"] == [0, 300, 2 ** 40]
+
+
+def test_image_folder_modes(tmp_path):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    from naturaldiffusion_tpu.data.image_folder import (preprocess_image,
+                                                        image_folder_iterator)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (178, 218, 3), dtype=np.uint8)
+                        ).save(tmp_path / f"img_{i}.png")
+
+    with Image.open(tmp_path / "img_0.png") as im:
+        a = preprocess_image(im, 64, "celeba")      # crop140 -> resize_small
+        assert a.shape == (64, 64, 3)
+        b = preprocess_image(im, 128, "lsun_small")
+        assert b.shape == (128, 128, 3)
+        c = preprocess_image(im, 256, "crop_resize")
+        assert c.shape == (256, 256, 3)
+    it = image_folder_iterator(str(tmp_path), 4, image_size=64,
+                               mode="celeba", random_flip=True)
+    x, y = next(it)
+    assert x.shape == (4, 64, 64, 3)
+    assert np.isfinite(x).all() and x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_get_dataset_folder_routing(tmp_path):
+    from PIL import Image
+    from naturaldiffusion_tpu.data import get_dataset
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+                    ).save(tmp_path / "a.png")
+    it = get_dataset("church", 2, data_dir=str(tmp_path), image_size=32)
+    x, _ = next(it)
+    assert x.shape == (2, 32, 32, 3)
+    # no data -> synthetic fallback at the dataset's shape
+    it2 = get_dataset("celeba", 2, data_dir=None)
+    x2, _ = next(it2)
+    assert x2.shape == (2, 64, 64, 3)
