@@ -71,21 +71,72 @@ def run_study(feats, t_indices, kind: str, outdir: str | None) -> None:
                      hist_x0=hist_x0, hist_xx=hist_xx)
 
 
+def features_from_images(data_dir: str, *, vae_ckpt: str | None = None,
+                         image_size: int = 256, batch: int = 16,
+                         limit: int = 512) -> np.ndarray:
+    """VAE-encode an image folder to flattened latent-mean features — the
+    reference's ``get_feature``/``get_batch_feature_tx``
+    (``src/AnalyzeWeightedSumDegradation.py:37-90``: AutoencoderKL encode,
+    posterior mean, flatten)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.image_folder import list_images, preprocess_image
+    from ..models.vae import AutoencoderKL, SD_VAE, vae_torch_path_map
+    from PIL import Image
+
+    model = AutoencoderKL(config=SD_VAE)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, image_size, image_size, 3)))["params"]
+    if vae_ckpt:
+        from ..models.convert import fill_from_torch, load_torch_checkpoint
+        params, _ = fill_from_torch(params, load_torch_checkpoint(vae_ckpt),
+                                    path_map=vae_torch_path_map)
+
+    encode = jax.jit(lambda x: model.apply(
+        {"params": params}, x, method=AutoencoderKL.encode)[0])
+
+    files = list_images(data_dir)[:limit]
+    if not files:
+        raise FileNotFoundError(f"no images under {data_dir!r}")
+    feats = []
+    for start in range(0, len(files), batch):
+        imgs = []
+        for f in files[start:start + batch]:
+            with Image.open(f) as im:
+                imgs.append(preprocess_image(im, image_size, "crop_resize"))
+        x = jnp.asarray(np.stack(imgs)) * 2.0 - 1.0
+        mean = encode(x)
+        feats.append(np.asarray(mean, np.float32).reshape(len(imgs), -1))
+    return np.concatenate(feats)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--features", default=None,
                    help="npz with array 'feats' [n, dim]")
+    p.add_argument("--images", default=None,
+                   help="image directory to VAE-encode into features "
+                        "(the reference's ImageNet path)")
+    p.add_argument("--vae", default=None, help="converted VAE weights")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--limit", type=int, default=512)
     p.add_argument("--kind", choices=("vp", "flow"), default="vp")
     p.add_argument("--t", type=lambda s: [int(x) for x in s.split(",")],
                    default=[200, 300, 400, 500, 600, 700, 800, 900])
     p.add_argument("--outdir", default=None)
     p.add_argument("--n", type=int, default=512,
-                   help="synthetic feature count (no --features)")
+                   help="synthetic feature count (no --features/--images)")
     p.add_argument("--dim", type=int, default=256)
     args = p.parse_args(argv)
 
     if args.features:
         feats = np.load(args.features)["feats"]
+    elif args.images:
+        feats = features_from_images(args.images, vae_ckpt=args.vae,
+                                     image_size=args.image_size,
+                                     limit=args.limit)
+        print(f"encoded {feats.shape[0]} images -> dim {feats.shape[1]}")
     else:
         feats = np.random.default_rng(0).standard_normal(
             (args.n, args.dim)).astype(np.float32)

@@ -108,3 +108,17 @@ def test_get_dataset_folder_routing(tmp_path):
     it2 = get_dataset("celeba", 2, data_dir=None)
     x2, _ = next(it2)
     assert x2.shape == (2, 64, 64, 3)
+
+
+def test_degradation_image_feature_path(tmp_path):
+    """The degradation study's VAE-encode-an-image-folder mode
+    (src/AnalyzeWeightedSumDegradation.py:37-90) runs end-to-end."""
+    from PIL import Image
+    from naturaldiffusion_tpu.apps.degradation import features_from_images
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+                        ).save(tmp_path / f"im{i}.png")
+    feats = features_from_images(str(tmp_path), image_size=32, batch=2)
+    assert feats.shape == (3, 4 * 4 * 4)    # 32px -> 4x4 latents x 4ch
+    assert np.isfinite(feats).all()
