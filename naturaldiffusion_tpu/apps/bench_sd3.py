@@ -1,0 +1,95 @@
+"""SD3-medium NI throughput on one chip — the reference's headline model.
+
+Runs the full 28-step sharpness-control loop (CFG pair per step, joint
+attention at 4096+context tokens for 1024px) with random weights (identical
+FLOPs to the safetensors) in bf16, as ONE jitted engine executable.
+
+    python -m naturaldiffusion_tpu.apps.bench_sd3 [--latent 128] [--steps 28]
+
+Prints one JSON line with sec/image and the transformer-forward ms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coeffs.sd3 import sd3_euler_weights, sd3_weight_matrix
+from ..apps.sd3_ni import make_cfg_fwd
+from ..engine import NISchedule, natural_inference
+from ..models.mmdit import MMDiT, MMDiTConfig, SD3_MEDIUM
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--latent", type=int, default=128,
+                   help="latent H=W (128 = 1024px, 64 = 512px)")
+    p.add_argument("--steps", type=int, default=28)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--ctx", type=int, default=154,
+                   help="context tokens (CLIP 77+77; +T5 for 333)")
+    args = p.parse_args(argv)
+
+    cfg = SD3_MEDIUM
+    model = MMDiT(config=cfg)
+    b, hw = args.batch, args.latent
+    key = jax.random.PRNGKey(0)
+    noises = jax.random.normal(key, (b, hw, hw, cfg.in_channels), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (b, args.ctx, cfg.joint_attention_dim),
+                            jnp.bfloat16) * 0.02
+    pooled = jax.random.normal(jax.random.PRNGKey(2),
+                               (b, cfg.pooled_projection_dim),
+                               jnp.bfloat16) * 0.02
+
+    params = jax.jit(lambda k: model.init(
+        k, noises[:1], jnp.zeros(1), ctx[:1].astype(jnp.float32),
+        pooled[:1].astype(jnp.float32))["params"])(jax.random.PRNGKey(3))
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    n_par = sum(a.size for a in jax.tree.leaves(params))
+
+    w = sd3_euler_weights(args.steps)
+    sched = NISchedule.from_matrix(sd3_weight_matrix(w, args.steps))
+
+    # scan, not unroll (28 unrolled 2B-transformer copies is an
+    # unreasonable XLA graph), and params as a jit ARGUMENT (closure
+    # capture bakes 4GB of constants into the executable)
+    def body(p, z):
+        fwd = make_cfg_fwd(model, p, context=ctx, pooled=pooled,
+                           neg_context=jnp.zeros_like(ctx),
+                           neg_pooled=jnp.zeros_like(pooled))
+        return jnp.float32(natural_inference(
+            fwd, sched, z, prediction_type="v_flow", unroll=False).sum())
+
+    runj = jax.jit(body)
+    z0 = noises.astype(jnp.bfloat16)
+
+    def run():
+        return float(runj(params, z0))
+
+    _ = run()                     # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        chk = run()
+        ts.append(time.time() - t0)
+    dt = sorted(ts)[1]
+    assert np.isfinite(chk)
+    print(json.dumps({
+        "model": f"SD3-medium ({n_par/1e9:.2f}B params)",
+        "latent": hw, "steps": args.steps, "batch": b,
+        "sec_per_image": round(dt / b, 2),
+        "transformer_fwd_ms": round(dt / (args.steps * 2 * b) * 1e3, 1),
+        "img_per_min_per_chip": round(60.0 * b / dt, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

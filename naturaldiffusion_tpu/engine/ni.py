@@ -193,8 +193,10 @@ def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
     bufe = flat_pad(buf_eps, epad)
     bufx = jnp.zeros((npad, m_pad), jnp.float32)
     w_x0 = jnp.pad(sched.x0.astype(jnp.float32), ((0, 0), (0, npad - n)))
-    w_eps = jnp.pad(sched.eps.astype(jnp.float32),
-                    ((0, 0), (0, epad - (n + 1))))
+    # only the live eps columns: deterministic schedules carry one column
+    # (the initial noise) while sched.eps is stored [n, n+1]
+    w_eps = jnp.pad(sched.eps.astype(jnp.float32)[:, :eps_cols],
+                    ((0, 0), (0, epad - eps_cols)))
 
     def step(carry, inp):
         z, bufx = carry

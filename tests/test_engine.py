@@ -180,3 +180,29 @@ def test_pallas_scan_path_matches(init):
     c = natural_inference(toy_x0_fn, sched, x32, unroll=True, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_scan_pallas_deterministic_schedule():
+    """The Pallas scan path with a deterministic schedule (single eps
+    column) — SD3's shape; regression for the negative-pad bug found by
+    the on-TPU SD3 bench."""
+    import jax
+    from naturaldiffusion_tpu.coeffs import registry
+    from naturaldiffusion_tpu.engine.ni import (NISchedule,
+                                                natural_inference,
+                                                _scan_pallas)  # noqa: F401
+
+    m = registry.derive("ddim_analytic", 12)
+    assert m.is_deterministic
+    sched = NISchedule.from_matrix(m)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+
+    def toy(zz, t):
+        return 0.9 * zz
+
+    want = natural_inference(toy, sched, z, prediction_type="x0",
+                             unroll=True)
+    got = natural_inference(toy, sched, z, prediction_type="x0",
+                            unroll=False, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
