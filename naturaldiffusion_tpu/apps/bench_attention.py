@@ -22,6 +22,27 @@ import jax.numpy as jnp
 from ..ops.attention import mha
 
 
+_RPC = None
+
+
+def _rpc_overhead() -> float:
+    """Measured per-dispatch round-trip (not a hard-coded tunnel guess —
+    ~35-40ms through axon, ~0 on a local host); clamped by the caller so a
+    fast run can never go negative."""
+    global _RPC
+    if _RPC is None:
+        f = jax.jit(lambda: jnp.float32(0.0))
+        _ = float(f())
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            _ = float(f())
+            ts.append(time.time() - t0)
+        _RPC = sorted(ts)[2]
+    return _RPC
+
+
+
 def bench(t: int, b: int = 2, h: int = 24, d: int = 64, reps: int = 20):
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q, k, v = (jax.random.normal(kk, (b, h, t, d), jnp.bfloat16) for kk in ks)
@@ -41,7 +62,8 @@ def bench(t: int, b: int = 2, h: int = 24, d: int = 64, reps: int = 20):
             s = time.time()
             _ = float(f(q))
             ts.append(time.time() - s)
-        out[backend] = (sorted(ts)[1] - 0.039) / reps
+        out[backend] = max(sorted(ts)[1] - _rpc_overhead(),
+                           sorted(ts)[1] * 0.05) / reps
     flops = 4 * b * h * t * t * d
     print(json.dumps({
         "t": t, "b": b, "h": h, "d": d,

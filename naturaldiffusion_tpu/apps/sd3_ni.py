@@ -50,7 +50,9 @@ def make_cfg_fwd(model, params, *, context, pooled, neg_context, neg_pooled,
     def fwd(z, t):
         b = z.shape[0]
         z2 = jnp.concatenate([z, z], axis=0)
-        t2 = jnp.full((2 * b,), t, z.dtype)
+        # timestep stays f32: bf16 quantizes ~1000-scale timesteps to
+        # spacing 4, desyncing conditioning from the f32 sigma projection
+        t2 = jnp.full((2 * b,), t, jnp.float32)
         v2 = model.apply({"params": params}, z2, t2, ctx2, pool2)
         text_v, null_v = v2[:b], v2[b:]
         return null_v + cfg_scale * (text_v - null_v)
@@ -158,9 +160,12 @@ def _encode_prompt_from_ids(args):
     ctx, pooled = sd3_encode_prompt(
         cl, pl, ids["ids_l"], cg, pg, ids["ids_g"],
         t5, params_t5, ids.get("ids_t5"))
+    neg_t5 = ids.get("neg_ids_t5")
+    if t5 is not None and neg_t5 is None:
+        neg_t5 = jnp.zeros_like(ids["ids_t5"])   # empty negative prompt
     nctx, npooled = sd3_encode_prompt(
         cl, pl, ids["neg_ids_l"], cg, pg, ids["neg_ids_g"],
-        t5, params_t5, ids.get("neg_ids_t5"))
+        t5, params_t5, neg_t5)
     return ctx, pooled, nctx, npooled
 
 

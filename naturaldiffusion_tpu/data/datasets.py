@@ -69,12 +69,22 @@ def synthetic_iterator(batch_size: int, *, shape=(32, 32, 3),
 # dataset -> (default image size, image-folder preprocessing mode) for the
 # reference's non-CIFAR datasets (datasets.py:44-139 semantics)
 _FOLDER_DATASETS = {
-    "celeba": (64, "celeba"),
-    "lsun": (256, "crop_resize"),
-    "church": (256, "crop_resize"),
-    "bedroom": (128, "lsun_small"),
-    "celebahq": (256, "crop_resize"),
+    "celeba": 64,
+    "lsun": 256,
+    "church": 256,
+    "bedroom": 128,
+    "celebahq": 256,
 }
+
+
+def _folder_mode(name: str, size: int) -> str:
+    if name == "celeba":
+        return "celeba"
+    # reference LSUN semantics are size-dependent (datasets.py:127-139):
+    # 128px = resize_small -> central_crop; larger = central crop_resize
+    if name in ("lsun", "church", "bedroom"):
+        return "lsun_small" if size == 128 else "crop_resize"
+    return "crop_resize"
 
 
 def get_dataset(name: str, batch_size: int, *, data_dir: str | None = None,
@@ -98,8 +108,8 @@ def get_dataset(name: str, batch_size: int, *, data_dir: str | None = None,
         return synthetic_iterator(batch_size, shape=(32, 32, 3),
                                   centered=centered)
     if name in _FOLDER_DATASETS or name == "ffhq":
-        default_size, mode = _FOLDER_DATASETS.get(name, (256, "resize"))
-        size = image_size or default_size
+        size = image_size or _FOLDER_DATASETS.get(name, 256)
+        mode = _folder_mode(name, size)
         if data_dir:
             recs = glob.glob(os.path.join(data_dir, "*.tfrecord*"))
             if recs or name == "ffhq":

@@ -77,7 +77,8 @@ def image_folder_iterator(data_dir: str, batch_size: int, *,
                           image_size: int, mode: str = "resize",
                           random_flip: bool = True, centered: bool = True,
                           seed: int = 0,
-                          cache: bool = True) -> Iterator:
+                          cache: bool = True,
+                          cache_max_bytes: int = 2 << 30) -> Iterator:
     """Infinite shuffled (images in model space, labels=zeros) batches over
     every image file under ``data_dir`` (recursive)."""
     from PIL import Image
@@ -88,15 +89,18 @@ def image_folder_iterator(data_dir: str, batch_size: int, *,
         raise FileNotFoundError(f"no images under {data_dir!r}")
     rng = np.random.default_rng(seed)
     scaler = get_scaler(centered)
+    # bounded uint8 cache: LSUN-scale folders would otherwise grow an
+    # unbounded float32 dict (~79GB after 100k 256px entries) and OOM
     cached: dict[int, np.ndarray] = {}
+    cache_budget = int(cache_max_bytes // (image_size * image_size * 3))
 
     def load(i: int) -> np.ndarray:
         if cache and i in cached:
-            return cached[i]
+            return cached[i].astype(np.float32) / 255.0
         with Image.open(files[i]) as im:
             arr = preprocess_image(im, image_size, mode)
-        if cache:
-            cached[i] = arr
+        if cache and len(cached) < cache_budget:
+            cached[i] = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
         return arr
 
     while True:

@@ -303,11 +303,15 @@ def t5_torch_path_map(path: tuple[str, ...]) -> str:
 def sd3_encode_prompt(clip_l, params_l, ids_l,
                       clip_g, params_g, ids_g,
                       t5=None, params_t5=None, ids_t5=None,
-                      joint_dim: int = 4096):
+                      joint_dim: int = 4096,
+                      max_sequence_length: int = 256):
     """diffusers ``StableDiffusion3Pipeline.encode_prompt`` on the Flax
     encoders: returns ``(prompt_embeds [B, T_clip+T_t5, joint_dim],
-    pooled [B, P_l+P_g])``.  Without T5 (the memory-light mode diffusers
-    also supports) the T5 span is zeros of ``max_sequence_length``=0."""
+    pooled [B, P_l+P_g])``.  Without T5 (the memory-light mode) diffusers
+    still appends a ZERO block of ``max_sequence_length`` tokens in the T5
+    span — it changes the attention normalization and keeps the context
+    shape compatible with full-stack embeddings; matched here (pass
+    ``max_sequence_length=0`` to disable)."""
     pl, pooled_l = clip_l.apply({"params": params_l}, ids_l)
     pg, pooled_g = clip_g.apply({"params": params_g}, ids_g)
     clip_embeds = jnp.concatenate([pl, pg], axis=-1)
@@ -319,8 +323,10 @@ def sd3_encode_prompt(clip_l, params_l, ids_l,
         clip_embeds, ((0, 0), (0, 0), (0, joint_dim - clip_embeds.shape[-1])))
     if t5 is not None:
         t5_embeds = t5.apply({"params": params_t5}, ids_t5)
-        prompt = jnp.concatenate([clip_embeds, t5_embeds], axis=1)
     else:
-        prompt = clip_embeds
+        t5_embeds = jnp.zeros(
+            (clip_embeds.shape[0], max_sequence_length, joint_dim),
+            clip_embeds.dtype)
+    prompt = jnp.concatenate([clip_embeds, t5_embeds], axis=1)
     pooled = jnp.concatenate([pooled_l, pooled_g], axis=-1)
     return prompt, pooled

@@ -64,6 +64,36 @@ class SD3Pipeline:
 
     # -- sampling -----------------------------------------------------------
 
+    def _get_run(self, num_steps: int):
+        """One jitted executable per step count, cached on the pipeline.
+        Params/schedule/conditioning all enter as jit ARGUMENTS (closing
+        over 2B params bakes ~4GB of constants into the executable), and
+        the engine takes the scan path (28 unrolled transformer copies is
+        an unreasonable XLA graph at SD3 scale)."""
+        cache = self.__dict__.setdefault("_run_cache", {})
+        if num_steps in cache:
+            return cache[num_steps]
+        model = self.mmdit
+        cfg_scale = self.cfg_scale
+
+        def run(params, sched, z, ctx2, pool2):
+            def fwd(zz, t):
+                b = zz.shape[0]
+                z2 = jnp.concatenate([zz, zz], axis=0)
+                # timestep stays f32: bf16 would quantize ~1000-scale
+                # timesteps to spacing 4, desyncing the conditioning from
+                # the f32 sigma reprojection
+                t2 = jnp.full((2 * b,), t, jnp.float32)
+                v2 = model.apply({"params": params}, z2, t2, ctx2, pool2)
+                return v2[b:] + cfg_scale * (v2[:b] - v2[b:])
+
+            return natural_inference(fwd, sched, z,
+                                     prediction_type="v_flow",
+                                     unroll=False)
+
+        cache[num_steps] = jax.jit(run)
+        return cache[num_steps]
+
     def __call__(self, *, noises, context, pooled, neg_context, neg_pooled,
                  num_steps: int = 28, weights: np.ndarray | None = None,
                  decode: bool = True, key=None):
@@ -78,20 +108,8 @@ class SD3Pipeline:
 
         ctx2 = jnp.concatenate([context, neg_context], axis=0)
         pool2 = jnp.concatenate([pooled, neg_pooled], axis=0)
-        params = self.mmdit_params
-        model = self.mmdit
-        cfg_scale = self.cfg_scale
-
-        def fwd(z, t):
-            b = z.shape[0]
-            z2 = jnp.concatenate([z, z], axis=0)
-            t2 = jnp.full((2 * b,), t, z.dtype)
-            v2 = model.apply({"params": params}, z2, t2, ctx2, pool2)
-            return v2[b:] + cfg_scale * (v2[:b] - v2[b:])
-
-        run = jax.jit(lambda z: natural_inference(
-            fwd, sched, z, prediction_type="v_flow"))
-        latents = run(noises)
+        run = self._get_run(num_steps)
+        latents = run(self.mmdit_params, sched, noises, ctx2, pool2)
 
         if decode and self.vae is not None:
             from .models.vae import AutoencoderKL

@@ -118,9 +118,13 @@ def test_encode_prompt_contract():
     # the clip span is zero-padded from 64+96=160 up to 192
     assert np.allclose(np.asarray(prompt[:, :12, 160:]), 0.0)
     assert not np.allclose(np.asarray(prompt[:, 12:, 160:]), 0.0)
-    # no-T5 mode
+    # no-T5 mode: diffusers appends a zero block of max_sequence_length
     prompt2, _ = sd3_encode_prompt(cl, pl, ids, cg, pg, ids, joint_dim=192)
-    assert prompt2.shape == (2, 12, 192)
+    assert prompt2.shape == (2, 12 + 256, 192)
+    assert np.allclose(np.asarray(prompt2[:, 12:]), 0.0)
+    prompt3, _ = sd3_encode_prompt(cl, pl, ids, cg, pg, ids, joint_dim=192,
+                                   max_sequence_length=0)
+    assert prompt3.shape == (2, 12, 192)
     with pytest.raises(ValueError, match="exceeds"):
         sd3_encode_prompt(cl, pl, ids, cg, pg, ids, joint_dim=64)
 
