@@ -125,8 +125,12 @@ def natural_inference(
         unroll = n <= 32
     if use_pallas is None:
         # the fused ring-buffer kernel reads only the live lower-triangular
-        # prefix: 3-4x over the XLA scan at n>=100 on v5e
-        use_pallas = (not unroll) and jax.devices()[0].platform == "tpu"
+        # prefix: 3-4x over the XLA scan at n>=100 on v5e.  f32-only: the
+        # kernel accumulates in f32, so an fp64 parity run (jax_enable_x64
+        # apps) must stay on the XLA scan to keep its precision
+        use_pallas = ((not unroll)
+                      and jax.devices()[0].platform == "tpu"
+                      and jnp.dtype(acc) == jnp.float32)
     if unroll:
         z = z0
         seq_x0: list = []
@@ -207,8 +211,11 @@ def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
                    sched.node[k, 2], prediction_type, accum_dtype=acc)
         x0 = jnp.pad(x0.reshape(-1).astype(jnp.float32), (0, m_pad - m))
         bufx = jax.lax.dynamic_update_index_in_dim(bufx, x0, k, axis=0)
+        # int32 live counts: under jax_enable_x64 (the fp64 parity apps)
+        # arange produces int64 and Mosaic's scalar convert recurses
         z_next = fused_weighted_sum_pallas(
-            wx, we, bufx, bufe, k + 1, jnp.minimum(eps_cols, k + 2),
+            wx, we, bufx, bufe, (k + 1).astype(jnp.int32),
+            jnp.minimum(eps_cols, k + 2).astype(jnp.int32),
             tile=tile, interpret=interpret)
         return (z_next, bufx), None
 

@@ -71,7 +71,10 @@ def _fused_kernel(nrow_ref, wx_ref, we_ref, bufx_ref, bufe_ref, out_ref):
         nchunks = buf_ref.shape[0] // _ROW_CHUNK
 
         def body(c, acc):
-            start = pl.multiple_of(c * _ROW_CHUNK, _ROW_CHUNK)
+            # pin i32: under jax_enable_x64 python loop bounds trace as
+            # i64 and Mosaic's scalar conversion recurses
+            start = pl.multiple_of(
+                (c * _ROW_CHUNK).astype(jnp.int32), _ROW_CHUNK)
             # whole-chunk predication: chunks past the live prefix cost nothing
             return jax.lax.cond(
                 start < live,
@@ -86,7 +89,8 @@ def _fused_kernel(nrow_ref, wx_ref, we_ref, bufx_ref, bufe_ref, out_ref):
                 acc,
             )
 
-        return jax.lax.fori_loop(0, nchunks, body, acc)
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body,
+                                 acc)
 
     acc = accumulate(nrow_ref[0], wx_ref, bufx_ref, acc)
     acc = accumulate(nrow_ref[1], we_ref, bufe_ref, acc)
