@@ -62,7 +62,20 @@ def _microbatch(fn, micro: int):
     return run
 
 
+def _filter_cells(args, cells):
+    if not getattr(args, "only", None):
+        return cells
+    want = args.only.split(":")
+    out = [c for c in cells
+           if [str(v) for v in c.values()] == want]
+    if not out:
+        raise SystemExit(f"--only {args.only!r} matches no cell of "
+                         f"{[':'.join(str(v) for v in c.values()) for c in cells]}")
+    return out
+
+
 def _sample_cells(args, cells, build_sampler):
+    cells = _filter_cells(args, cells)
     rows = []
     for cell in cells:
         sampler = jax.jit(_microbatch(build_sampler(cell),
@@ -167,6 +180,10 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=888)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--fid-stats", default=None)
+    p.add_argument("--only", default=None,
+                   help="run one cell: 'method:order' (dpm families) or "
+                        "'ts_phase:method:order' (deis) — single-cell runs "
+                        "keep tunnel compile time bounded")
     p.add_argument("--discrete", action="store_true",
                    help="DEIS on the piecewise discrete-alpha schedule "
                         "(the reference FID-sweep setup)")
