@@ -70,8 +70,12 @@ def main(argv=None) -> int:
     mu, sigma, n = compute_dataset_stats(loader, feature_fn,
                                          batch_size=args.batch,
                                          limit=args.limit)
-    np.savez(args.out, mu=mu, sigma=sigma)
-    print(f"{args.out}: mu{mu.shape} sigma{sigma.shape} over {n} images")
+    # provenance stamp (VERDICT r2 weak #5): smoke-mode stats must be
+    # unmistakable for pytorch-fid-comparable ones
+    prov = "converted" if args.inception else "random"
+    np.savez(args.out, mu=mu, sigma=sigma, weights=np.asarray(prov))
+    print(f"{args.out}: mu{mu.shape} sigma{sigma.shape} over {n} images "
+          f"(inception weights={prov})")
     return 0
 
 

@@ -126,17 +126,33 @@ def sd3_natural_inference_host(model, params, noises, weights, *, context,
     return weighted_sum(seq_x0)
 
 
-def _encode_prompt_from_ids(args):
-    """Native SD3 encode_prompt: token-ids npz + converted HF text-encoder
-    weights -> (ctx, pooled, neg_ctx, neg_pooled)."""
+def _tokenize_prompt(args):
+    """Raw text -> the ids dict, via the in-repo tokenizer engines
+    (``text/``): CLIP byte-level BPE + T5 sentencepiece unigram.  The last
+    stage of the reference's prompt path (``src/SD3NaturalInference.py:184``)
+    — vocab assets come from ``--clip-vocab/--clip-merges/--spm``."""
+    from ..text import (CLIPBPETokenizer, SentencePieceUnigram,
+                        sd3_tokenize_ids)
+
+    clip = CLIPBPETokenizer.from_files(args.clip_vocab, args.clip_merges)
+    t5 = SentencePieceUnigram.from_file(args.spm) if args.spm else None
+    return sd3_tokenize_ids(args.prompt, args.neg_prompt or "",
+                            clip_l=clip, t5=t5)
+
+
+def _encode_prompt_from_ids(args, ids=None):
+    """Native SD3 encode_prompt: token ids (npz file or dict) + converted HF
+    text-encoder weights -> (ctx, pooled, neg_ctx, neg_pooled)."""
     from ..models.convert import fill_from_torch, load_torch_checkpoint
     from ..models.text_encoders import (CLIPTextEncoder, T5Encoder,
                                         CLIP_L_SD3, CLIP_G_SD3, T5_XXL,
                                         clip_torch_path_map,
                                         t5_torch_path_map, sd3_encode_prompt)
 
-    with np.load(args.ids) as f:
-        ids = {k: jnp.asarray(f[k]) for k in f.files}
+    if ids is None:
+        with np.load(args.ids) as f:
+            ids = {k: f[k] for k in f.files}
+    ids = {k: jnp.asarray(v) for k, v in ids.items()}
 
     def load_enc(model, path, path_map, probe_ids):
         template = model.init(jax.random.PRNGKey(0), probe_ids)["params"]
@@ -162,7 +178,10 @@ def _encode_prompt_from_ids(args):
         t5, params_t5, ids.get("ids_t5"))
     neg_t5 = ids.get("neg_ids_t5")
     if t5 is not None and neg_t5 is None:
-        neg_t5 = jnp.zeros_like(ids["ids_t5"])   # empty negative prompt
+        # empty negative prompt: T5 tokenizes "" to [EOS(1), pad(0)...]
+        # (diffusers encode_prompt), not all-zeros — T5 runs unmasked so the
+        # leading EOS changes the embeddings (ADVICE r2)
+        neg_t5 = jnp.zeros_like(ids["ids_t5"]).at[:, 0].set(1)
     nctx, npooled = sd3_encode_prompt(
         cl, pl, ids["neg_ids_l"], cg, pg, ids["neg_ids_g"],
         t5, params_t5, neg_t5)
@@ -177,6 +196,14 @@ def main(argv=None) -> int:
     p.add_argument("--ids", default=None,
                    help="token-ids npz (ids_l/ids_g/ids_t5 + neg_*) for the "
                         "native encode_prompt path")
+    p.add_argument("--prompt", default=None,
+                   help="raw text prompt (requires --clip-vocab/--clip-merges"
+                        " [+ --spm]; tokenized in-repo)")
+    p.add_argument("--neg-prompt", default="",
+                   help="raw negative prompt (default: empty)")
+    p.add_argument("--clip-vocab", default=None, help="CLIP vocab.json")
+    p.add_argument("--clip-merges", default=None, help="CLIP merges.txt")
+    p.add_argument("--spm", default=None, help="T5 spiece.model")
     p.add_argument("--clip-l", default=None, help="CLIP-L torch weights")
     p.add_argument("--clip-g", default=None, help="CLIP-G torch weights")
     p.add_argument("--t5", default=None, help="T5-XXL encoder torch weights")
@@ -207,10 +234,16 @@ def main(argv=None) -> int:
             pooled = jnp.asarray(f["pooled"])
             nctx = jnp.asarray(f["negative_prompt_embeds"])
             npooled = jnp.asarray(f["negative_pooled"])
+    elif args.prompt is not None:
+        # raw text -> ids (in-repo tokenizers) -> Flax encoders: the full
+        # prompt->conditioning path of src/SD3NaturalInference.py:175-184
+        if not (args.clip_vocab and args.clip_merges):
+            raise SystemExit("--prompt needs --clip-vocab and --clip-merges")
+        ctx, pooled, nctx, npooled = _encode_prompt_from_ids(
+            args, ids=_tokenize_prompt(args))
     elif args.ids:
-        # native encode_prompt: Flax CLIP-L/CLIP-G/T5 on token ids
-        # (src/SD3NaturalInference.py:175-184 rebuilt; tokenization to ids
-        # stays external -- BPE/sentencepiece vocab assets)
+        # native encode_prompt: Flax CLIP-L/CLIP-G/T5 on precomputed token
+        # ids (src/SD3NaturalInference.py:175-184 rebuilt)
         ctx, pooled, nctx, npooled = _encode_prompt_from_ids(args)
     else:
         k1, k2 = jax.random.split(key)
@@ -236,11 +269,20 @@ def main(argv=None) -> int:
         neg_context=nctx, neg_pooled=npooled, num_step=args.steps,
         unroll=True if args.small else False)
 
+    # weights-provenance stamp in every artifact name (VERDICT r2 weak #5):
+    # random-init smoke outputs must be unmistakable for converted-weight ones
+    prov = "converted" if args.ckpt else "random"
     os.makedirs(args.outdir, exist_ok=True)
-    np.save(os.path.join(args.outdir, "latents.npy"),
-            np.asarray(x0, np.float32))
-    print(f"latents -> {args.outdir}/latents.npy "
-          f"(finite={bool(np.isfinite(np.asarray(x0)).all())})")
+    lat_path = os.path.join(args.outdir, f"latents_{prov}.npy")
+    np.save(lat_path, np.asarray(x0, np.float32))
+    import json
+    with open(os.path.join(args.outdir, "meta.json"), "w") as fh:
+        json.dump({"weights": prov, "ckpt": args.ckpt, "vae": args.vae,
+                   "text_encoders": "converted" if (args.clip_l or args.t5)
+                   else ("embeds" if args.embeds else "random"),
+                   "steps": args.steps, "seed": args.seed}, fh, indent=1)
+    print(f"latents -> {lat_path} (weights={prov}, "
+          f"finite={bool(np.isfinite(np.asarray(x0)).all())})")
 
     if args.vae:
         from ..models.vae import AutoencoderKL, SD3_VAE, vae_torch_path_map
@@ -252,9 +294,9 @@ def main(argv=None) -> int:
                                 path_map=vae_torch_path_map)
         imgs = vae.apply({"params": vp}, vae.unscale_latents(x0),
                          method=AutoencoderKL.decode)
-        save_image_grid(np.asarray(imgs), os.path.join(args.outdir,
-                                                       "grid.png"), nrow=4)
-        print(f"decoded -> {args.outdir}/grid.png")
+        grid = os.path.join(args.outdir, f"grid_{prov}.png")
+        save_image_grid(np.asarray(imgs), grid, nrow=4)
+        print(f"decoded -> {grid}")
     return 0
 
 

@@ -49,13 +49,30 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 
 def activations(images: np.ndarray, feature_fn: Callable,
-                batch_size: int = 256, mesh=None) -> np.ndarray:
+                batch_size: int = 256, mesh=None,
+                pad_to_batch: bool = False) -> np.ndarray:
     """[N, H, W, C] in [0, 1] -> [N, D] features, batched.
 
     With ``mesh`` the batch is sharded over the ``data`` axis — the
     reference's ``run_inception_distributed``
     (``deps/score_sde_pytorch/evaluation.py:108-146``) on XLA collectives
-    instead of TF device loops."""
+    instead of TF device loops.
+
+    ``pad_to_batch``: edge-pad the tail chunk up to a full ``batch_size`` so
+    the jitted feature fn compiles exactly ONE shape (a fresh tail shape
+    costs a full XLA recompile — minutes for InceptionV3 on the tunnel)."""
+    if pad_to_batch:
+        n = len(images)
+        tail = n % batch_size
+        if tail:
+            padded = np.concatenate(
+                [images[n - tail:],
+                 np.repeat(images[-1:], batch_size - tail, axis=0)])
+            head = activations(images[:n - tail], feature_fn,
+                               batch_size=batch_size, mesh=mesh)
+            last = activations(padded, feature_fn,
+                               batch_size=batch_size, mesh=mesh)[:tail]
+            return np.concatenate([head, last]) if len(head) else last
     if mesh is not None:
         from ..parallel import batch_sharding
         import jax

@@ -232,8 +232,10 @@ def default_feature_fn(pth_path: str | None = None):
     if pth_path:
         params, _ = load_fid_inception_params(pth_path)
     else:
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 32, 32, 3)))["params"]
+        # jitted init: eager init is one tunnel RPC per primitive on the
+        # remote-TPU backend (~minutes for inception's ~300 modules)
+        params = jax.jit(lambda k: model.init(
+            k, jnp.zeros((1, 32, 32, 3)))["params"])(jax.random.PRNGKey(0))
 
     @jax.jit
     def fn(images):

@@ -60,9 +60,12 @@ def modulate(x, shift, scale):
 
 class Attention(nn.Module):
     """timm-style multi-head attention (qkv_bias=True, no attn/proj drop);
-    rides the Pallas flash kernel on TPU (``ops/attention.py``)."""
+    rides the Pallas flash kernel on TPU (``ops/attention.py``).
+    ``attn_backend="ring"`` + ``mesh`` keeps K/V token-sharded and rotates
+    them over ICI (sequence-parallel long-context path)."""
     num_heads: int
     attn_backend: str = "auto"
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +75,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * d, use_bias=True, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, h, d // h), 3, axis=2)
         q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
-        y = mha(q, k, v, backend=self.attn_backend)
+        y = mha(q, k, v, backend=self.attn_backend, mesh=self.mesh)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, use_bias=True, name="proj")(y)
 
@@ -92,6 +95,8 @@ class DiTBlock(nn.Module):
     """adaLN-Zero block (``deps/DiT/models.py:105-126``)."""
     num_heads: int
     mlp_ratio: float = 4.0
+    attn_backend: str = "auto"
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x, c):
@@ -101,8 +106,9 @@ class DiTBlock(nn.Module):
                        name="adaLN_modulation_1")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
-        x = x + g_a[:, None, :] * Attention(self.num_heads, name="attn")(
-            modulate(ln(x), sh_a, sc_a))
+        x = x + g_a[:, None, :] * Attention(
+            self.num_heads, attn_backend=self.attn_backend, mesh=self.mesh,
+            name="attn")(modulate(ln(x), sh_a, sc_a))
         x = x + g_m[:, None, :] * Mlp(int(d * self.mlp_ratio), name="mlp")(
             modulate(ln(x), sh_m, sc_m))
         return x
@@ -151,6 +157,10 @@ class DiT(nn.Module):
     # sharding constraint is applied at every block boundary so XLA gathers
     # the sequence into the TP matmuls and scatters it back (SURVEY.md §2.5)
     token_constraint: object = None
+    # "ring" + mesh: sequence-parallel ring attention — K/V never gathered,
+    # blocks rotate over ICI (ops/ring_attention.py); the long-context path
+    attn_backend: str = "auto"
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x, t, y, *, train: bool = False, rng=None):
@@ -187,6 +197,7 @@ class DiT(nn.Module):
                 tok = jax.lax.with_sharding_constraint(
                     tok, self.token_constraint)
             tok = DiTBlock(cfg.num_heads, cfg.mlp_ratio,
+                           attn_backend=self.attn_backend, mesh=self.mesh,
                            name=f"blocks_{i}")(tok, c)
         tok = FinalLayer(p, cfg.out_channels, name="final_layer")(tok, c)
 

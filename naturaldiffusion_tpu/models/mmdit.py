@@ -131,8 +131,13 @@ class JointBlock(nn.Module):
         cv = heads(nn.Dense(d, name="attn_add_v_proj")(c_in))
 
         if self.qk_norm:
-            rms = nn.RMSNorm(epsilon=1e-6)
-            q, k, cq, ck = rms(q), rms(k), rms(cq), rms(ck)
+            # four SEPARATE norms with their own scales — diffusers SD3.5
+            # has norm_q/norm_k/norm_added_q/norm_added_k; one shared
+            # instance would silently leave 3 scales unconverted (ADVICE r2)
+            q = nn.RMSNorm(epsilon=1e-6, name="attn_norm_q")(q)
+            k = nn.RMSNorm(epsilon=1e-6, name="attn_norm_k")(k)
+            cq = nn.RMSNorm(epsilon=1e-6, name="attn_norm_added_q")(cq)
+            ck = nn.RMSNorm(epsilon=1e-6, name="attn_norm_added_k")(ck)
 
         # joint attention over [latent; context] (diffusers order); falls
         # back to the einsum pair off-TPU or at unaligned joint lengths
@@ -242,6 +247,9 @@ def mmdit_torch_path_map(path: tuple[str, ...]) -> str:
             parts.append("attn.to_out.0")
         elif seg.startswith("attn_to_add_out"):
             parts.append("attn.to_add_out")
+        elif seg.startswith("attn_norm_"):
+            # SD3.5 qk-norm: attn.norm_q / norm_k / norm_added_q / norm_added_k
+            parts.append("attn." + seg[len("attn_"):])
         elif seg.startswith("attn_add_"):
             parts.append("attn." + seg[len("attn_"):])
         elif seg.startswith("attn_to_"):

@@ -63,8 +63,18 @@ def _flash(q, k, v, sm_scale: float, t: int):
     return out[:, :, :t] if tp != t else out
 
 
-def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None):
-    """q/k/v: [B, H, T, D] -> [B, H, T, D]."""
+def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None,
+        mesh=None, ring_axis: str = "model"):
+    """q/k/v: [B, H, T, D] -> [B, H, T, D].
+
+    ``backend="ring"``: sequence-parallel ring attention — K/V stay sharded
+    over ``mesh``'s ``ring_axis`` and rotate via ``ppermute``
+    (:mod:`.ring_attention`).  Requires ``T % mesh.shape[ring_axis] == 0``.
+    Crossover vs the all-gather path: ring wins once the *sharded* K/V no
+    longer fit (or their all-gather no longer overlaps) — per-chip peak
+    memory is O(T/n) vs O(T); at DiT/MMDiT's <=4.5k tokens the all-gather
+    is faster, so "auto" never picks ring — it is the explicit long-context
+    backend (SURVEY §2.5 SP row)."""
     d = q.shape[-1]
     sm_scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
     t = q.shape[2]
@@ -74,6 +84,12 @@ def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None):
         # head dims internally (verified on v5e with d=64/72: ~2x over the
         # einsum pair at 4096 tokens); unaligned lengths are padded+masked
         backend = "flash" if (_on_tpu() and t >= 256) else "xla"
+
+    if backend == "ring":
+        from .ring_attention import ring_mha
+        if mesh is None:
+            raise ValueError("backend='ring' needs mesh=")
+        return ring_mha(q, k, v, mesh, axis=ring_axis, sm_scale=sm_scale)
 
     if backend == "flash":
         return _flash(q, k, v, sm_scale, t)

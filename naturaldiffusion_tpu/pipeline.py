@@ -8,10 +8,12 @@ engine (ONE jitted executable per (steps, weights) configuration) and the
 VAE, assembled from converted HF weights or random init (smoke mode).
 
     pipe = SD3Pipeline.from_parts(mmdit=..., params=..., vae=..., ...)
-    images = pipe(ids or embeds, num_steps=28, weights=sharp_csv_matrix)
+    images = pipe(prompt="a photo of a cat", noises=z, num_steps=28,
+                  weights=sharp_csv_matrix)
 
-Tokenization to ids stays external (BPE/sentencepiece vocab assets); both
-precomputed embeddings and token-ids conditioning are accepted.
+Conditioning enters at any stage: raw text (in-repo CLIP BPE + T5
+sentencepiece tokenizers, given vocab assets), precomputed token ids, or
+precomputed embeddings.
 """
 
 from __future__ import annotations
@@ -42,6 +44,8 @@ class SD3Pipeline:
     clip_g_params: Any = None
     t5: Any = None
     t5_params: Any = None
+    tokenizer_clip: Any = None     # text.CLIPBPETokenizer (shared L/G vocab)
+    tokenizer_t5: Any = None       # text.SentencePieceUnigram
     cfg_scale: float = 7.0
     shift: float = 3.0
 
@@ -50,6 +54,22 @@ class SD3Pipeline:
         return cls(**kw)
 
     # -- conditioning -------------------------------------------------------
+
+    def tokenize(self, prompt, negative_prompt="", t5_length: int = 256):
+        """Raw text -> the ids dict (``text.sd3_tokenize_ids``).  Requires
+        ``tokenizer_clip`` (built from vocab.json/merges.txt) and optionally
+        ``tokenizer_t5`` (spiece.model).  The CLIP row length follows the
+        encoder's position table (77 for real SD3)."""
+        from .text import sd3_tokenize_ids
+        if self.tokenizer_clip is None:
+            raise ValueError("pipeline has no tokenizer; pass ids or embeds")
+        clip_length = getattr(getattr(self.clip_l, "config", None),
+                              "max_positions", 77) if self.clip_l else 77
+        return sd3_tokenize_ids(prompt, negative_prompt,
+                                clip_l=self.tokenizer_clip,
+                                t5=self.tokenizer_t5,
+                                clip_length=clip_length,
+                                t5_length=t5_length)
 
     def encode_prompt(self, ids_l, ids_g, ids_t5=None):
         """Token ids -> (prompt_embeds, pooled) via the Flax encoders."""
@@ -94,13 +114,26 @@ class SD3Pipeline:
         cache[num_steps] = jax.jit(run)
         return cache[num_steps]
 
-    def __call__(self, *, noises, context, pooled, neg_context, neg_pooled,
+    def __call__(self, *, noises, context=None, pooled=None,
+                 neg_context=None, neg_pooled=None,
+                 prompt=None, negative_prompt="",
                  num_steps: int = 28, weights: np.ndarray | None = None,
                  decode: bool = True, key=None):
         """Run Natural Inference; ``weights`` defaults to the vanilla-Euler
         matrix (exact Euler sampling); pass the learned/sharp CSV matrices
-        for sharpness control.  Returns decoded images (VAE present and
+        for sharpness control.  Conditioning: either the four embedding
+        tensors, or ``prompt=``/``negative_prompt=`` raw text (tokenized +
+        encoded in-repo).  Returns decoded images (VAE present and
         ``decode``) or latents."""
+        if prompt is not None:
+            ids = self.tokenize(prompt, negative_prompt)
+            context, pooled = self.encode_prompt(
+                ids["ids_l"], ids["ids_g"], ids.get("ids_t5"))
+            neg_context, neg_pooled = self.encode_prompt(
+                ids["neg_ids_l"], ids["neg_ids_g"], ids.get("neg_ids_t5"))
+        if context is None or pooled is None \
+                or neg_context is None or neg_pooled is None:
+            raise ValueError("pass prompt= or the four embedding tensors")
         if weights is None:
             weights = sd3_euler_weights(num_steps, shift=self.shift)
         sched = NISchedule.from_matrix(

@@ -64,6 +64,51 @@ def test_mmdit_forward_parity(pair):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
 
 
+def test_mmdit_qk_norm_parity():
+    """SD3.5 qk_norm=True: four separate RMSNorm scales must convert and
+    match numerically (ADVICE r2 — one shared norm instance would leave
+    norm_k/norm_added_q/norm_added_k at init and silently diverge)."""
+    import dataclasses
+    torch.manual_seed(2)
+    cfg = dataclasses.replace(CFG, qk_norm=True)
+    twin = TorchMMDiT(sample_size=cfg.sample_size, patch=cfg.patch_size,
+                      cin=cfg.in_channels, dim=cfg.hidden_size,
+                      depth=cfg.depth, heads=cfg.num_heads,
+                      ctx_dim=cfg.joint_attention_dim,
+                      pooled_dim=cfg.pooled_projection_dim,
+                      max_size=cfg.pos_embed_max_size, qk_norm=True).eval()
+    with torch.no_grad():
+        for _, p in twin.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+        # distinct scales per norm: a shared-instance bug would surface
+        for blk in twin.transformer_blocks:
+            for i, n in enumerate(["norm_q", "norm_k", "norm_added_q",
+                                   "norm_added_k"]):
+                getattr(blk.attn, n).weight.add_(0.1 * (i + 1))
+
+    model = MMDiT(config=cfg)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                          jnp.zeros(1), jnp.zeros((1, 6, 32)),
+                          jnp.zeros((1, 48)))["params"]
+    params, unused = fill_from_torch(template, twin.state_dict(),
+                                     path_map=mmdit_torch_path_map)
+    assert unused == [], unused
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    t = np.asarray([100.0, 800.0], np.float32)
+    ctx = rng.normal(size=(2, 6, 32)).astype(np.float32)
+    pooled = rng.normal(size=(2, 48)).astype(np.float32)
+    want = twin(torch.from_numpy(x).permute(0, 3, 1, 2),
+                torch.from_numpy(t), torch.from_numpy(ctx),
+                torch.from_numpy(pooled)).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(t), jnp.asarray(ctx),
+                                 jnp.asarray(pooled)))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
 def test_mmdit_parity_uneven_crop(pair):
     """A smaller latent exercises the center-crop offset of the position
     table — the path where a fresh table would silently diverge."""

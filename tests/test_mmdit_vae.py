@@ -110,7 +110,7 @@ def test_sd3_app_smoke(tmp_path):
     rc = main(["--small", "--steps", "4", "--latent", "8",
                "--outdir", str(tmp_path)])
     assert rc == 0
-    lat = np.load(tmp_path / "latents.npy")
+    lat = np.load(tmp_path / "latents_random.npy")
     assert lat.shape == (1, 8, 8, 16) and np.isfinite(lat).all()
 
 

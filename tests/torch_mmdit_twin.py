@@ -84,8 +84,22 @@ class TimestepTextEmbedT(nn.Module):
         return te + pe
 
 
+class RMSNormT(nn.Module):
+    """diffusers RMSNorm (qk-norm over the head dim, learnable weight)."""
+
+    def __init__(self, dim, eps=1e-6):
+        super().__init__()
+        self.eps = eps
+        self.weight = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        return (x.float() * torch.rsqrt(var + self.eps)).to(x.dtype) \
+            * self.weight
+
+
 class AttnT(nn.Module):
-    def __init__(self, dim, heads, pre_only):
+    def __init__(self, dim, heads, pre_only, qk_norm=False):
         super().__init__()
         self.heads = heads
         self.to_q = nn.Linear(dim, dim)
@@ -97,6 +111,12 @@ class AttnT(nn.Module):
         self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
         if not pre_only:
             self.to_add_out = nn.Linear(dim, dim)
+        if qk_norm:          # SD3.5: four SEPARATE norms (ADVICE r2)
+            hd = dim // heads
+            self.norm_q = RMSNormT(hd)
+            self.norm_k = RMSNormT(hd)
+            self.norm_added_q = RMSNormT(hd)
+            self.norm_added_k = RMSNormT(hd)
 
     def forward(self, x, ctx):
         b, tx, d = x.shape
@@ -105,8 +125,13 @@ class AttnT(nn.Module):
         def heads(v):
             return v.reshape(b, -1, h, d // h).transpose(1, 2)
 
-        q = torch.cat([heads(self.to_q(x)), heads(self.add_q_proj(ctx))], 2)
-        k = torch.cat([heads(self.to_k(x)), heads(self.add_k_proj(ctx))], 2)
+        q, k = heads(self.to_q(x)), heads(self.to_k(x))
+        cq, ck = heads(self.add_q_proj(ctx)), heads(self.add_k_proj(ctx))
+        if hasattr(self, "norm_q"):
+            q, k = self.norm_q(q), self.norm_k(k)
+            cq, ck = self.norm_added_q(cq), self.norm_added_k(ck)
+        q = torch.cat([q, cq], 2)
+        k = torch.cat([k, ck], 2)
         v = torch.cat([heads(self.to_v(x)), heads(self.add_v_proj(ctx))], 2)
         o = F.scaled_dot_product_attention(q, k, v)
         o = o.transpose(1, 2).reshape(b, -1, d)
@@ -131,13 +156,13 @@ class FeedForwardT(nn.Module):
 
 
 class JointBlockT(nn.Module):
-    def __init__(self, dim, heads, pre_only):
+    def __init__(self, dim, heads, pre_only, qk_norm=False):
         super().__init__()
         self.pre_only = pre_only
         self.norm1 = nn.ModuleDict({"linear": nn.Linear(dim, 6 * dim)})
         self.norm1_context = nn.ModuleDict({
             "linear": nn.Linear(dim, (2 if pre_only else 6) * dim)})
-        self.attn = AttnT(dim, heads, pre_only)
+        self.attn = AttnT(dim, heads, pre_only, qk_norm=qk_norm)
         self.ff = FeedForwardT(dim)
         if not pre_only:
             self.ff_context = FeedForwardT(dim)
@@ -172,7 +197,8 @@ class TorchMMDiT(nn.Module):
     """Tiny SD3Transformer2DModel twin (state_dict keys = HF layout)."""
 
     def __init__(self, sample_size=8, patch=2, cin=4, dim=64, depth=2,
-                 heads=4, ctx_dim=32, pooled_dim=48, max_size=8):
+                 heads=4, ctx_dim=32, pooled_dim=48, max_size=8,
+                 qk_norm=False):
         super().__init__()
         self.patch, self.cin = patch, cin
         self.pos_embed = PatchEmbedT(patch, cin, dim, max_size,
@@ -180,7 +206,8 @@ class TorchMMDiT(nn.Module):
         self.time_text_embed = TimestepTextEmbedT(dim, pooled_dim)
         self.context_embedder = nn.Linear(ctx_dim, dim)
         self.transformer_blocks = nn.ModuleList(
-            [JointBlockT(dim, heads, pre_only=(i == depth - 1))
+            [JointBlockT(dim, heads, pre_only=(i == depth - 1),
+                         qk_norm=qk_norm)
              for i in range(depth)])
         self.norm_out = nn.ModuleDict({"linear": nn.Linear(dim, 2 * dim)})
         self.proj_out = nn.Linear(dim, patch * patch * cin)
