@@ -54,6 +54,42 @@ def cifar10_iterator(data_dir: str, batch_size: int, *,
     return gen()
 
 
+def load_svhn_mat(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """SVHN cropped-digits ``.mat`` (train_32x32.mat layout) ->
+    (images [N,32,32,3] uint8, labels [N] int32 with 10 -> 0).
+
+    The reference consumes SVHN via TFDS ``svhn_cropped``
+    (``deps/score_sde_pytorch/datasets.py:82-96``); the universal local
+    form is Stanford's MATLAB release: X [32,32,3,N], y [N,1]
+    (digit '0' stored as class 10)."""
+    from scipy.io import loadmat
+
+    m = loadmat(path)
+    images = np.ascontiguousarray(np.transpose(m["X"], (3, 0, 1, 2)))
+    labels = m["y"].reshape(-1).astype(np.int32) % 10
+    return images, labels
+
+
+def svhn_iterator(data_dir: str, batch_size: int, *, split: str = "train",
+                  centered: bool = True, seed: int = 0) -> Iterator:
+    """Infinite shuffled (images in model space, labels) batches over the
+    SVHN .mat release.  No flip augmentation: the reference sets
+    ``random_flip=False`` implicitly for digit data (flipped digits are
+    different glyphs) — matching TFDS's un-augmented svhn_cropped."""
+    path = os.path.join(data_dir, f"{split}_32x32.mat")
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    images, labels = load_svhn_mat(path)
+    rng = np.random.default_rng(seed)
+    scaler = get_scaler(centered)
+    n = len(images)
+
+    while True:
+        idx = rng.integers(0, n, batch_size)
+        yield (scaler(images[idx].astype(np.float32) / 255.0),
+               labels[idx])
+
+
 def synthetic_iterator(batch_size: int, *, shape=(32, 32, 3),
                        num_classes: int = 10, centered: bool = True,
                        seed: int = 0) -> Iterator:
@@ -100,7 +136,8 @@ def get_dataset(name: str, batch_size: int, *, data_dir: str | None = None,
     * ``synthetic`` — shape-compatible stand-in (no data on disk).
     Falls back to synthetic at the right shape when ``data_dir`` is empty.
     """
-    kw.pop("split", None) if name != "cifar10" else None
+    if name not in ("cifar10", "svhn"):
+        kw.pop("split", None)
     if name == "cifar10":
         if data_dir and glob.glob(os.path.join(data_dir, "*_batch*.bin")):
             return cifar10_iterator(data_dir, batch_size, centered=centered,
@@ -122,6 +159,15 @@ def get_dataset(name: str, batch_size: int, *, data_dir: str | None = None,
                     data_dir, batch_size, image_size=size, mode=mode,
                     centered=centered, **kw)
         return synthetic_iterator(batch_size, shape=(size, size, 3),
+                                  centered=centered)
+    if name == "svhn":
+        split = kw.pop("split", "train")
+        kw.pop("random_flip", None)            # digits are never flipped
+        if data_dir and os.path.exists(
+                os.path.join(data_dir, f"{split}_32x32.mat")):
+            return svhn_iterator(data_dir, batch_size, split=split,
+                                 centered=centered, **kw)
+        return synthetic_iterator(batch_size, shape=(32, 32, 3),
                                   centered=centered)
     if name == "synthetic":
         return synthetic_iterator(batch_size, centered=centered, **kw)

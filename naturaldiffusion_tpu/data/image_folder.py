@@ -62,9 +62,13 @@ def preprocess_image(img, image_size: int, mode: str = "resize"):
         img = _resize_small(img, image_size)
         img = _central_crop(img, image_size)
     elif mode == "crop_resize":          # central square -> resize
+        # the reference's crop_resize (LSUN >128 / CelebA-HQ) resizes
+        # BICUBIC with antialias (tf.image.resize(method=BICUBIC,
+        # antialias=True)); BILINEAR here shifted the training
+        # distribution slightly (ADVICE r2)
         img = _central_crop(img, min(img.size))
         img = img.resize((image_size, image_size),
-                         Image.Resampling.BILINEAR)
+                         Image.Resampling.BICUBIC)
     elif mode == "resize":
         img = img.resize((image_size, image_size),
                          Image.Resampling.BILINEAR)

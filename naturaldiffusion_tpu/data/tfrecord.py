@@ -131,37 +131,79 @@ def iter_tfrecord(path: str) -> Iterator[bytes]:
             yield payload
 
 
-def load_chw_image_records(paths: list[str]) -> list[np.ndarray]:
-    """All FFHQ-style records -> list of HWC uint8 arrays
-    (Example features: shape int64[3] CHW, data raw bytes;
-    ``datasets.py:152-158`` semantics incl. the CHW->HWC transpose)."""
-    out = []
+def index_tfrecords(paths: list[str]) -> list[tuple[str, int, int]]:
+    """One seek-only pass over the framing: (path, payload_offset,
+    payload_length) per record.  Payloads are NOT read — FFHQ-1024 is
+    ~220 GB decoded, which must never be materialized at once (ADVICE r2)."""
+    index = []
     for p in paths:
-        for rec in iter_tfrecord(p):
-            ex = parse_example(rec)
-            shape = tuple(int(s) for s in ex["shape"])
-            data = np.frombuffer(ex["data"][0], np.uint8).reshape(shape)
-            out.append(np.transpose(data, (1, 2, 0)))
-    return out
+        with open(p, "rb") as f:
+            while True:
+                head = f.read(8)
+                if len(head) < 8:
+                    break
+                (length,) = struct.unpack("<Q", head)
+                f.seek(4, 1)                 # length crc
+                off = f.tell()
+                index.append((p, off, length))
+                f.seek(length + 4, 1)        # payload + payload crc
+    return index
+
+
+def read_chw_image_record(path: str, offset: int, length: int) -> np.ndarray:
+    """One indexed record -> HWC uint8 (Example features: shape int64[3]
+    CHW, data raw bytes; ``datasets.py:152-158`` semantics incl. the
+    CHW->HWC transpose)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        rec = f.read(length)
+    ex = parse_example(rec)
+    shape = tuple(int(s) for s in ex["shape"])
+    data = np.frombuffer(ex["data"][0], np.uint8).reshape(shape)
+    return np.transpose(data, (1, 2, 0))
+
+
+def load_chw_image_records(paths: list[str]) -> list[np.ndarray]:
+    """All records decoded up front — ONLY for small corpora/tests; the
+    training iterator goes through :func:`index_tfrecords` + lazy reads."""
+    return [read_chw_image_record(*entry) for entry in index_tfrecords(paths)]
 
 
 def tfrecord_iterator(paths: list[str], batch_size: int, *,
                       random_flip: bool = True, centered: bool = True,
                       uniform_dequantization: bool = False,
-                      seed: int = 0) -> Iterator:
-    """Infinite shuffled (images in model space, labels=zeros) batches."""
+                      seed: int = 0,
+                      cache_max_bytes: int = 2 << 30) -> Iterator:
+    """Infinite shuffled (images in model space, labels=zeros) batches.
+
+    Records are indexed once and decoded lazily per batch with a bounded
+    uint8 cache (the ``image_folder_iterator`` policy) — the reference
+    streams FFHQ via tf.data for the same reason: fully decoded FFHQ-1024
+    is ~220 GB of host RAM (ADVICE r2)."""
     from .datasets import get_scaler
 
-    records = load_chw_image_records(paths)
-    if not records:
+    index = index_tfrecords(paths)
+    if not index:
         raise FileNotFoundError(f"no records in {paths!r}")
     rng = np.random.default_rng(seed)
     scaler = get_scaler(centered)
-    n = len(records)
+    n = len(index)
+    cached: dict[int, np.ndarray] = {}
+    budget_left = int(cache_max_bytes)
+
+    def load(i: int) -> np.ndarray:
+        nonlocal budget_left
+        if i in cached:
+            return cached[i]
+        arr = read_chw_image_record(*index[i])
+        if arr.nbytes <= budget_left:
+            cached[i] = arr
+            budget_left -= arr.nbytes
+        return arr
 
     while True:
         idx = rng.integers(0, n, batch_size)
-        imgs = np.stack([records[i] for i in idx]).astype(np.float32)
+        imgs = np.stack([load(int(i)) for i in idx]).astype(np.float32)
         if uniform_dequantization:
             imgs = (rng.random(imgs.shape, np.float32) + imgs) / 256.0
         else:

@@ -92,3 +92,32 @@ def test_scalers_roundtrip():
     s, inv = get_scaler(True), get_inverse_scaler(True)
     np.testing.assert_allclose(inv(s(x)), x, atol=1e-7)
     assert s(x).min() >= -1.0 and s(x).max() <= 1.0
+
+
+def test_svhn_mat_loader_and_registry(tmp_path):
+    """SVHN .mat release (the reference's svhn_cropped family,
+    deps/score_sde_pytorch/datasets.py:82-96): loader semantics incl. the
+    MATLAB [32,32,3,N] layout and the 10->0 label convention."""
+    from scipy.io import savemat
+    from naturaldiffusion_tpu.data.datasets import load_svhn_mat
+
+    rng = np.random.default_rng(0)
+    X = rng.integers(0, 256, (32, 32, 3, 20), dtype=np.uint8)
+    y = np.concatenate([rng.integers(1, 10, 19), [10]]).reshape(-1, 1)
+    savemat(tmp_path / "train_32x32.mat", {"X": X, "y": y})
+
+    imgs, labels = load_svhn_mat(str(tmp_path / "train_32x32.mat"))
+    assert imgs.shape == (20, 32, 32, 3) and imgs.dtype == np.uint8
+    np.testing.assert_array_equal(imgs[5], X[..., 5])
+    assert labels[-1] == 0                       # MATLAB class 10 = digit 0
+    assert labels.max() < 10
+
+    it = get_dataset("svhn", 8, data_dir=str(tmp_path))
+    x, lab = next(it)
+    assert x.shape == (8, 32, 32, 3)
+    assert -1.0 <= x.min() and x.max() <= 1.0
+    assert lab.max() < 10
+
+    # no data on disk -> synthetic fallback at the right shape
+    x2, _ = next(get_dataset("svhn", 4, data_dir=None))
+    assert x2.shape == (4, 32, 32, 3)
