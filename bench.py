@@ -38,7 +38,9 @@ import jax                                    # noqa: E402
 import jax.numpy as jnp                       # noqa: E402
 import numpy as np                            # noqa: E402
 
-MICRO = 64        # per-chunk batch (VMEM-resident sweet spot, see above)
+MICRO = int(os.environ.get("BENCH_MICRO", "64"))
+# per-chunk batch (VMEM-resident sweet spot, see above); env-overridable
+# for micro-batch sweeps without editing the file
 TOTAL = 1024      # images per timed dispatch
 NUM_STEP = 10
 TARGET = 1000.0   # img/s/chip (BASELINE.md driver target)
@@ -59,7 +61,7 @@ def load_matrix():
     return registry.derive("ddpm", NUM_STEP)
 
 
-def main():
+def main(trace_dir: str | None = None):
     from naturaldiffusion_tpu.models.ncsnpp import (NCSNpp,
                                                     CIFAR10_DDPMPP_CONTINUOUS)
     from naturaldiffusion_tpu.engine import NISchedule, natural_inference
@@ -117,6 +119,12 @@ def main():
         times.append(time.time() - t0_)
     dt = sorted(times)[len(times) // 2]
     img_per_sec = TOTAL / dt
+
+    if trace_dir:
+        # one extra timed dispatch under the profiler; summarize with
+        # `python -m naturaldiffusion_tpu.utils.trace_summary <trace_dir>`
+        with jax.profiler.trace(trace_dir):
+            _ = float(run_sum(zs, jax.random.fold_in(k, 99)))
     mfu = img_per_sec * NUM_STEP * flops_per_img_step / V5E_PEAK
 
     assert np.isfinite(np.asarray(out, np.float32)).all()
@@ -133,4 +141,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None,
+                    help="also capture an xprof trace of one dispatch here")
+    main(trace_dir=ap.parse_args().trace)

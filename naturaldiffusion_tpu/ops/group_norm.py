@@ -183,6 +183,53 @@ import os
 # per forward).  Default therefore = XLA formulation; the kernel stays
 # available for standard-layout callers via NATDIFF_PALLAS_GN=1.
 _FORCE_PALLAS = os.environ.get("NATDIFF_PALLAS_GN", "") == "1"
+# statistics formulation for the XLA path: "5d" reduces the (B,H,W,G,gs)
+# view over (1,2,4) in one shot; "channel" does per-channel spatial sums
+# first (C lanes intact — the vectorization-friendly shape) and folds the
+# tiny [B,C] result per group on the side
+_STATS_MODE = os.environ.get("NATDIFF_GN_STATS", "channel")
+# Producer-fusion barrier.  Measured bench.py A/B (v5e, micro=64, r3):
+#   barrier=1 stats=5d      698.0 img/s   (the r2 configuration)
+#   barrier=1 stats=channel 698.5         (formulation alone: a wash)
+#   barrier=0 stats=5d      554.4         (group-axis reduce in the conv
+#                                          epilogue wrecks the conv schedule
+#                                          — the r2 finding that motivated
+#                                          the barrier)
+#   barrier=0 stats=channel 736.9         (per-channel spatial sums fuse
+#                                          into the conv epilogue for FREE:
+#                                          no separate stats pass at all)
+# => the stats pass only needed splitting because of HOW it reduced; with
+# C kept on the lanes the epilogue fusion is free and the barrier is pure
+# loss.  Default: no barrier for "channel", barrier for "5d".
+_BARRIER = os.environ.get(
+    "NATDIFF_GN_BARRIER",
+    "0" if _STATS_MODE == "channel" else "1") == "1"
+
+
+def group_norm_xla_channel(x, scale, bias, num_groups: int,
+                           eps: float = 1e-6, act: str | None = None):
+    """Two-stage GN statistics: spatial-only reduces keep the channel axis
+    as the minor (lane) axis, so the stats pass vectorizes over C instead
+    of striding through the (B,H,W,G,gs) view.  Same fast-variance math as
+    :func:`group_norm_reference` up to f32 summation order."""
+    b, h, w, c = x.shape
+    gs = c // num_groups
+    n = h * w * gs
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=(1, 2))                            # [B, C]
+    s2 = jnp.sum(xf * xf, axis=(1, 2))                      # [B, C]
+    sg = s.reshape(b, num_groups, gs).sum(-1)               # [B, G]
+    s2g = s2.reshape(b, num_groups, gs).sum(-1)
+    mu = sg / n
+    var = s2g / n - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    # broadcast back per channel and fold the affine into one mul-add
+    inv_c = jnp.repeat(inv, gs, axis=1)                     # [B, C]
+    mu_c = jnp.repeat(mu, gs, axis=1)
+    w_c = inv_c * scale.astype(jnp.float32)
+    b_c = bias.astype(jnp.float32) - mu_c * w_c
+    y = xf * w_c[:, None, None, :] + b_c[:, None, None, :]
+    return _apply_act(y, act).astype(x.dtype)
 
 
 def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
@@ -190,11 +237,14 @@ def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
     """Dispatcher: XLA formulation by default (see note above); Pallas kernel
     when NATDIFF_PALLAS_GN=1 and the shape is eligible.
 
-    On TPU an ``optimization_barrier`` splits the GN statistics from the
-    *producing* conv: XLA otherwise fuses the mean/mean-sq reduce into the
-    conv's epilogue, which halves the conv's MXU rate (75 vs 142 TFLOP/s
-    measured on the batch-512 level-0 NCSN++ conv on v5e).  The barrier makes
-    the stats a separate full-bandwidth pass: ~6% whole-model win."""
+    Default TPU path (r3): per-channel "channel" statistics with NO
+    producer barrier — the spatial-only reduce fuses into the producing
+    conv's epilogue at full MXU rate, so the statistics cost nothing
+    (736.9 vs 698.0 img/s whole-model, A/B table above).  The r2
+    barrier+5d configuration remains reachable via NATDIFF_GN_STATS=5d
+    (there the group-axis reduce in the epilogue halves the conv's MXU
+    rate — 75 vs 142 TFLOP/s on the batch-512 level-0 conv — and the
+    barrier is a ~6% win)."""
     if (_FORCE_PALLAS and jax.default_backend() == "tpu"
             and _eligible(x, num_groups)):
         return group_norm_pallas(x, scale, bias, num_groups, eps=eps,
@@ -203,5 +253,9 @@ def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
         # fold the temb projection into the producer fusion, not the GN
         x = x + extra_bias.astype(x.dtype)[:, None, None, :]
     if jax.default_backend() == "tpu":
-        x = jax.lax.optimization_barrier(x)
+        if _BARRIER:
+            x = jax.lax.optimization_barrier(x)
+        if _STATS_MODE == "channel":
+            return group_norm_xla_channel(x, scale, bias, num_groups,
+                                          eps=eps, act=act)
     return group_norm_reference(x, scale, bias, num_groups, eps=eps, act=act)

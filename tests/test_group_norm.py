@@ -67,3 +67,28 @@ def test_module_param_tree_matches_nn_groupnorm():
         jax.random.PRNGKey(0), x)["params"]
     assert jax.tree.structure(ours) == jax.tree.structure(theirs)
     assert all(ours[k].shape == theirs[k].shape for k in theirs)
+
+
+def test_channel_stats_formulation_matches_reference():
+    """The two-stage per-channel stats path (the TPU default, r3) must be
+    numerically equivalent to the 5-D reduce formulation."""
+    import jax.numpy as jnp
+    from naturaldiffusion_tpu.ops.group_norm import (group_norm_reference,
+                                                     group_norm_xla_channel)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 256)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    for act in (None, "silu"):
+        want = group_norm_reference(x, scale, bias, 32, act=act)
+        got = group_norm_xla_channel(x, scale, bias, 32, act=act)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+    # bf16 input: same dtype-in/dtype-out contract
+    xb = x.astype(jnp.bfloat16)
+    got = group_norm_xla_channel(xb, scale, bias, 32, act="silu")
+    want = group_norm_reference(xb, scale, bias, 32, act="silu")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
