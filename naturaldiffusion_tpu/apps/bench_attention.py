@@ -48,7 +48,7 @@ def bench(t: int, b: int = 2, h: int = 24, d: int = 64, reps: int = 20):
     q, k, v = (jax.random.normal(kk, (b, h, t, d), jnp.bfloat16) for kk in ks)
 
     out = {}
-    for backend in ("xla", "flash"):
+    for backend in ("xla", "flash", "splash"):
         # chain reps inside ONE jit: per-dispatch tunnel RPC (~35-40ms)
         # otherwise swamps millisecond kernels
         def body(i, qq):
@@ -69,8 +69,10 @@ def bench(t: int, b: int = 2, h: int = 24, d: int = 64, reps: int = 20):
         "t": t, "b": b, "h": h, "d": d,
         "xla_ms": round(out["xla"] * 1e3, 2),
         "flash_ms": round(out["flash"] * 1e3, 2),
+        "splash_ms": round(out["splash"] * 1e3, 2),
         "speedup": round(out["xla"] / out["flash"], 2),
         "flash_tflops": round(flops / out["flash"] / 1e12, 1),
+        "splash_tflops": round(flops / out["splash"] / 1e12, 1),
     }))
 
 

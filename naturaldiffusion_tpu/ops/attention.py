@@ -63,6 +63,43 @@ def _flash(q, k, v, sm_scale: float, t: int):
     return out[:, :, :t] if tp != t else out
 
 
+def _splash(q, k, v, sm_scale: float, t: int, block_q: int = 512,
+            block_kv: int = 512, interpret: bool = False):
+    """Splash attention (the newer TPU kernel generation): grid over heads
+    with q pre-scaled, 128-token tile granularity (vs the legacy kernel's
+    512 sweet spot), full bwd block spec so training works too."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm_lib)
+
+    b, h, _, d = q.shape
+    # pad to the block unit (the mask-info builder requires block_q | seq);
+    # like the flash path, burning pad tokens beats shrinking the block
+    unit = block_q if t >= block_q else 128
+    tp = -(-t // unit) * unit
+    if tp != t:
+        pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        # pad tokens live in segment 1; real queries never see them
+        seg = jnp.where(jnp.arange(tp) < t, 0, 1).astype(jnp.int32)
+        segment_ids = sk.SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+
+    bq, bkv = min(block_q, tp), min(block_kv, tp)
+    sizes = sk.BlockSizes(
+        block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+        block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+        block_q_dq=bq, block_kv_dq=bkv)
+    kernel = sk.make_splash_mha_single_device(
+        mask=sm_lib.MultiHeadMask([sm_lib.FullMask((tp, tp))] * h),
+        block_sizes=sizes, interpret=interpret)
+    qs = (q * sm_scale).astype(q.dtype)   # splash takes pre-scaled q
+    out = jax.vmap(
+        lambda qq, kk, vv: kernel(qq, kk, vv, segment_ids=segment_ids)
+    )(qs, k, v)
+    return out[:, :, :t] if tp != t else out
+
+
 def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None,
         mesh=None, ring_axis: str = "model"):
     """q/k/v: [B, H, T, D] -> [B, H, T, D].
@@ -93,6 +130,10 @@ def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None,
 
     if backend == "flash":
         return _flash(q, k, v, sm_scale, t)
+
+    if backend in ("splash", "splash_interpret"):
+        return _splash(q, k, v, sm_scale, t,
+                       interpret=backend == "splash_interpret")
 
     if backend == "xla":
         attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) * sm_scale

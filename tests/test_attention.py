@@ -60,6 +60,19 @@ def test_pad_keys_do_not_leak():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("t", [256, 300])
+def test_splash_matches_xla(t):
+    """Splash kernel (newer TPU generation, ops/attention._splash): aligned
+    and padded+segment-masked lengths.  Tolerance is looser than flash —
+    the kernel's internal exp2 softmax accumulates differently (~1e-3 f32
+    abs, measured; the model path is bf16 where this is below input noise)."""
+    q, k, v = _qkv(t)
+    want = mha(q, k, v, backend="xla")
+    got = mha(q, k, v, backend="splash_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-3, rtol=3e-3)
+
+
 def test_auto_on_cpu_is_xla():
     q, k, v = _qkv(64)
     got = mha(q, k, v)           # auto on CPU -> einsum pair
