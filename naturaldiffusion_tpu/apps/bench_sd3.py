@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--ctx", type=int, default=154,
                    help="context tokens (CLIP 77+77; +T5 for 333)")
+    p.add_argument("--trace", default=None,
+                   help="capture an xprof trace of one timed run here "
+                        "(summarize: python -m naturaldiffusion_tpu."
+                        "utils.trace_summary <dir>)")
     args = p.parse_args(argv)
 
     cfg = SD3_MEDIUM
@@ -80,6 +84,9 @@ def main(argv=None) -> int:
         ts.append(time.time() - t0)
     dt = sorted(ts)[1]
     assert np.isfinite(chk)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            _ = run()
     print(json.dumps({
         "model": f"SD3-medium ({n_par/1e9:.2f}B params)",
         "latent": hw, "steps": args.steps, "batch": b,

@@ -190,7 +190,11 @@ class DiT(nn.Module):
         yemb = nn.Embed(n_embed, d,
                         embedding_init=nn.initializers.normal(0.02),
                         name="y_embedder_embedding_table")(y)
-        c = temb + yemb
+        # the sinusoidal embedding is f32; without this cast the adaLN
+        # modulation promotes EVERY block's activations (and the attention
+        # kernel) to f32 — the same silent-promotion class the r2 NCSN++
+        # bf16 fix closed (PERF.md "bf16 actually end-to-end")
+        c = (temb + yemb).astype(tok.dtype)
 
         for i in range(cfg.depth):
             if self.token_constraint is not None:

@@ -133,11 +133,16 @@ class JointBlock(nn.Module):
         if self.qk_norm:
             # four SEPARATE norms with their own scales — diffusers SD3.5
             # has norm_q/norm_k/norm_added_q/norm_added_k; one shared
-            # instance would silently leave 3 scales unconverted (ADVICE r2)
-            q = nn.RMSNorm(epsilon=1e-6, name="attn_norm_q")(q)
-            k = nn.RMSNorm(epsilon=1e-6, name="attn_norm_k")(k)
-            cq = nn.RMSNorm(epsilon=1e-6, name="attn_norm_added_q")(cq)
-            ck = nn.RMSNorm(epsilon=1e-6, name="attn_norm_added_k")(ck)
+            # instance would silently leave 3 scales unconverted (ADVICE r2).
+            # Cast back: the f32 scale params would otherwise promote q/k
+            # (and the attention kernel) to f32 under bf16 inference.
+            adt = q.dtype
+            q = nn.RMSNorm(epsilon=1e-6, name="attn_norm_q")(q).astype(adt)
+            k = nn.RMSNorm(epsilon=1e-6, name="attn_norm_k")(k).astype(adt)
+            cq = nn.RMSNorm(epsilon=1e-6,
+                            name="attn_norm_added_q")(cq).astype(adt)
+            ck = nn.RMSNorm(epsilon=1e-6,
+                            name="attn_norm_added_k")(ck).astype(adt)
 
         # joint attention over [latent; context] (diffusers order); falls
         # back to the einsum pair off-TPU or at unaligned joint lengths
@@ -193,7 +198,14 @@ class MMDiT(nn.Module):
                                     cfg.sample_size // p)
         tok = tok + jnp.asarray(pos, tok.dtype)[None]
 
-        c = TimestepTextEmbed(d, name="time_text_embed")(t, pooled)
+        # cast the conditioning vector to the stream dtype: the sinusoidal
+        # timestep embedding inside TimestepTextEmbed is f32, and an f32 `c`
+        # silently promotes every JointBlock's modulated activations — and
+        # the joint-attention kernel — to f32 (caught by the r3 xprof trace:
+        # flash_attention ran on f32[2,24,4608,64]; same class as the r2
+        # NCSN++ temb fix)
+        c = TimestepTextEmbed(d, name="time_text_embed")(
+            t, pooled).astype(tok.dtype)
         ctx = nn.Dense(d, name="context_embedder")(context)
 
         for i in range(cfg.depth):
