@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coeffs.sd3 import sd3_euler_weights, sd3_weight_matrix
-from ..apps.sd3_ni import make_cfg_fwd
+from ..apps.sd3_ni import make_cfg_fwd, make_cfg_fwd_mods
 from ..engine import NISchedule, natural_inference
 from ..models.mmdit import MMDiT, MMDiTConfig, SD3_MEDIUM
 
@@ -37,6 +37,9 @@ def main(argv=None) -> int:
                    help="capture an xprof trace of one timed run here "
                         "(summarize: python -m naturaldiffusion_tpu."
                         "utils.trace_summary <dir>)")
+    p.add_argument("--no-mods", action="store_true",
+                   help="disable the precomputed-conditioning fast path "
+                        "(A/B control: recompute adaLN mods every step)")
     args = p.parse_args(argv)
 
     cfg = SD3_MEDIUM
@@ -64,11 +67,20 @@ def main(argv=None) -> int:
     # unreasonable XLA graph), and params as a jit ARGUMENT (closure
     # capture bakes 4GB of constants into the executable)
     def body(p, z):
-        fwd = make_cfg_fwd(model, p, context=ctx, pooled=pooled,
-                           neg_context=jnp.zeros_like(ctx),
-                           neg_pooled=jnp.zeros_like(pooled))
+        if args.no_mods:
+            fwd = make_cfg_fwd(model, p, context=ctx, pooled=pooled,
+                               neg_context=jnp.zeros_like(ctx),
+                               neg_pooled=jnp.zeros_like(pooled))
+            aux = None
+        else:
+            fwd, aux = make_cfg_fwd_mods(
+                model, p, context=ctx, pooled=pooled,
+                neg_context=jnp.zeros_like(ctx),
+                neg_pooled=jnp.zeros_like(pooled),
+                t_all=sched.node[:args.steps, 0])
         return jnp.float32(natural_inference(
-            fwd, sched, z, prediction_type="v_flow", unroll=False).sum())
+            fwd, sched, z, prediction_type="v_flow", unroll=False,
+            step_inputs=aux).sum())
 
     runj = jax.jit(body)
     z0 = noises.astype(jnp.bfloat16)

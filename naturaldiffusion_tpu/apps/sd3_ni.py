@@ -60,28 +60,69 @@ def make_cfg_fwd(model, params, *, context, pooled, neg_context, neg_pooled,
     return fwd
 
 
+def make_cfg_fwd_mods(model, params, *, context, pooled, neg_context,
+                      neg_pooled, t_all, cfg_scale: float = 7.0):
+    """CFG-fused predictor on the precomputed-conditioning fast path.
+
+    The NI schedule is static, so every step's timestep/pooled embedding and
+    every block's adaLN modulation are loop constants: precomputed here for
+    ALL steps in one full-MXU pass (:func:`mmdit_schedule_mods`) instead of
+    recomputed per step at MXU-starved M=2.  Returns ``(fwd, step_inputs)``
+    for the engine's ``step_inputs=`` hook — ``fwd(z, t, aux)``."""
+    from ..models.mmdit import mmdit_schedule_mods
+
+    ctx2 = jnp.concatenate([context, neg_context], axis=0)
+    pool2 = jnp.concatenate([pooled, neg_pooled], axis=0)
+    mods = mmdit_schedule_mods(model, params, t_all, pool2, ctx2)
+    ctx_emb = mods.pop("ctx_emb")          # step-constant: closes over fwd
+    step_inputs = mods                     # leaves carry the leading [S]
+
+    def fwd(z, t, aux):
+        b = z.shape[0]
+        z2 = jnp.concatenate([z, z], axis=0)
+        t2 = jnp.full((2 * b,), t, jnp.float32)   # unused under mods=
+        v2 = model.apply({"params": params}, z2, t2, ctx2, pool2,
+                         mods=dict(aux, ctx_emb=ctx_emb))
+        text_v, null_v = v2[:b], v2[b:]
+        return null_v + cfg_scale * (text_v - null_v)
+
+    return fwd, step_inputs
+
+
 def sd3_natural_inference(model, params, noises, weights, *, context,
                           pooled, neg_context, neg_pooled, num_step: int = 28,
                           cfg_scale: float = 7.0, shift: float = 3.0,
-                          unroll: bool | None = None):
+                          unroll: bool | None = None,
+                          precompute_mods: bool = True):
     """SD3 NI as ONE jitted engine executable (VERDICT r1 item 5): the
     sigma-reprojection is affine, so it rides the same ``NISchedule`` scan
     as every other sampler instead of a host-side Python loop.
 
     ``unroll``: pass ``False`` for full-scale MMDiT — 28 unrolled copies of
     a 2B transformer is an unreasonable XLA graph; the scan compiles fast.
-    The engine default (unroll at n<=32) suits small models/tests."""
+    The engine default (unroll at n<=32) suits small models/tests.
+
+    ``precompute_mods``: hoist the schedule-constant conditioning (timestep
+    embeddings + all adaLN modulations) out of the scan (default; measured
+    win at SD3 scale, identical math)."""
     sched = NISchedule.from_matrix(
         sd3_weight_matrix(weights, num_step, shift=shift))
 
     # params enter as a jit ARGUMENT: closing over them bakes the full
     # parameter tree into the executable as constants (4GB at SD3-medium)
     def run(p, z):
-        fwd = make_cfg_fwd(model, p, context=context, pooled=pooled,
-                           neg_context=neg_context, neg_pooled=neg_pooled,
-                           cfg_scale=cfg_scale)
+        if precompute_mods:
+            fwd, aux = make_cfg_fwd_mods(
+                model, p, context=context, pooled=pooled,
+                neg_context=neg_context, neg_pooled=neg_pooled,
+                t_all=sched.node[:num_step, 0], cfg_scale=cfg_scale)
+        else:
+            fwd, aux = make_cfg_fwd(
+                model, p, context=context, pooled=pooled,
+                neg_context=neg_context, neg_pooled=neg_pooled,
+                cfg_scale=cfg_scale), None
         return natural_inference(fwd, sched, z, prediction_type="v_flow",
-                                 unroll=unroll)
+                                 unroll=unroll, step_inputs=aux)
 
     return jax.jit(run)(params, noises)
 

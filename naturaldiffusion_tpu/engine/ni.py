@@ -85,6 +85,7 @@ def natural_inference(
     weighted_sum_fn=weighted_sum_xla,
     unroll: bool | None = None,
     use_pallas: bool | None = None,
+    step_inputs=None,
 ) -> jnp.ndarray:
     """Run Natural Inference; returns the final state ``z`` (decoded sample).
 
@@ -93,6 +94,12 @@ def natural_inference(
     ``init_noise``: ``[B, ...]`` prior sample (eps column 0).
     ``noises``: optional ``[n, B, ...]`` injected noises (columns 1..n); drawn
     from ``key`` when omitted; ignored for deterministic schedules.
+    ``step_inputs``: optional pytree whose leaves carry a leading ``[n]``
+    axis — per-step auxiliary model inputs.  When given, the model is called
+    as ``denoise_fn(x, t, aux_k)`` with the k-th slice.  This is how
+    schedule-constant conditioning (e.g. all 28 steps' adaLN modulation
+    vectors, precomputed in ONE full-MXU matmul) rides the scan instead of
+    being recomputed per step at MXU-starved batch sizes.
 
     ``unroll``: unroll the step loop instead of ``lax.scan``.  Default: on
     for n <= 32.  The unrolled form lets XLA keep the x0 history as live
@@ -105,6 +112,13 @@ def natural_inference(
     shape = init_noise.shape
     acc = accum_dtype
     model_dtype = model_dtype or init_noise.dtype
+
+    if step_inputs is None:
+        aux_tree = ()                               # leafless: scan-safe
+        call = lambda z, t, aux: denoise_fn(z, t)   # noqa: E731
+    else:
+        aux_tree = step_inputs
+        call = denoise_fn
 
     if not sched.deterministic:
         if noises is None:
@@ -137,7 +151,8 @@ def natural_inference(
         x0_m = sched.x0.astype(acc)
         eps_m = sched.eps.astype(acc)
         for k in range(n):
-            pred = denoise_fn(z.astype(model_dtype), sched.node[k, 0])
+            aux_k = jax.tree.map(lambda a: a[k], aux_tree)
+            pred = call(z.astype(model_dtype), sched.node[k, 0], aux_k)
             x0 = to_x0(pred, z, sched.node[k, 1], sched.node[k, 2],
                        prediction_type, accum_dtype=acc)
             seq_x0.append(x0)
@@ -148,16 +163,16 @@ def natural_inference(
         return z
 
     if use_pallas:
-        return _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols,
+        return _scan_pallas(call, aux_tree, sched, z0, buf_eps, eps_cols,
                             prediction_type, acc, model_dtype)
 
     buf_x0 = jnp.zeros((n,) + shape, dtype=acc)
 
     def step(carry, inp):
         z, buf_x0 = carry
-        k, w_x0, w_eps, t = inp
+        k, w_x0, w_eps, t, aux = inp
         # the model sees the *current* node's time and marginals, node[k]
-        pred = denoise_fn(z.astype(model_dtype), t)
+        pred = call(z.astype(model_dtype), t, aux)
         x0 = to_x0(pred, z, sched.node[k, 1], sched.node[k, 2],
                    prediction_type, accum_dtype=acc)
         buf_x0 = jax.lax.dynamic_update_index_in_dim(buf_x0, x0, k, axis=0)
@@ -166,13 +181,13 @@ def natural_inference(
         return (next_x0 + next_eps, buf_x0), None
 
     xs = (jnp.arange(n), sched.x0.astype(acc), sched.eps.astype(acc),
-          sched.node[:n, 0])
+          sched.node[:n, 0], aux_tree)
     (z, _), _ = jax.lax.scan(step, (z0, buf_x0), xs)
     return z
 
 
-def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
-                 acc, model_dtype):
+def _scan_pallas(call, aux_tree, sched, z0, buf_eps, eps_cols,
+                 prediction_type, acc, model_dtype):
     """Scan variant whose per-step dual weighted sum is the fused Pallas
     ring-buffer kernel (SURVEY.md §7 / BASELINE.json north star): one VMEM
     pass over both buffers, whole zero-weight row chunks skipped, so only the
@@ -204,9 +219,9 @@ def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
 
     def step(carry, inp):
         z, bufx = carry
-        k, wx, we, t = inp
+        k, wx, we, t, aux = inp
         z_img = z[:m].reshape(shape)            # drop the lane padding
-        pred = denoise_fn(z_img.astype(model_dtype), t)
+        pred = call(z_img.astype(model_dtype), t, aux)
         x0 = to_x0(pred, z_img, sched.node[k, 1],
                    sched.node[k, 2], prediction_type, accum_dtype=acc)
         x0 = jnp.pad(x0.reshape(-1).astype(jnp.float32), (0, m_pad - m))
@@ -220,7 +235,7 @@ def _scan_pallas(denoise_fn, sched, z0, buf_eps, eps_cols, prediction_type,
         return (z_next, bufx), None
 
     z0f = jnp.pad(z0.reshape(-1).astype(jnp.float32), (0, m_pad - m))
-    xs = (jnp.arange(n), w_x0, w_eps, sched.node[:n, 0])
+    xs = (jnp.arange(n), w_x0, w_eps, sched.node[:n, 0], aux_tree)
     (z, _), _ = jax.lax.scan(step, (z0f, bufx), xs)
     return z[:m].reshape(shape).astype(acc)
 

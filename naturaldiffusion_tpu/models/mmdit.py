@@ -92,18 +92,25 @@ class JointBlock(nn.Module):
     qk_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, ctx, c):
+    def __call__(self, x, ctx, c, mods=None):
         d = x.shape[-1]
         h = self.num_heads
         hd = d // h
 
-        # adaLN-Zero per stream (6 params; context-final block gets 2)
-        mod_x = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
-                         name="norm1_linear")(nn.silu(c))
-        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod_x, 6, axis=-1)
         n_ctx_mod = 2 if self.context_pre_only else 6
-        mod_c = nn.Dense(n_ctx_mod * d, kernel_init=nn.initializers.zeros,
-                         name="norm1_context_linear")(nn.silu(c))
+        if mods is not None:
+            # schedule-precomputed adaLN vectors (mmdit_schedule_mods): the
+            # [B, 1536]x[1536, 9216] modulation matmuls are MXU-starved at
+            # inference batch sizes and re-read ~57 MB of weights per block
+            # per step — with a static NI schedule they are loop constants
+            mod_x, mod_c = mods
+        else:
+            # adaLN-Zero per stream (6 params; context-final block gets 2)
+            mod_x = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
+                             name="norm1_linear")(nn.silu(c))
+            mod_c = nn.Dense(n_ctx_mod * d, kernel_init=nn.initializers.zeros,
+                             name="norm1_context_linear")(nn.silu(c))
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod_x, 6, axis=-1)
         cmods = jnp.split(mod_c, n_ctx_mod, axis=-1)
 
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
@@ -145,15 +152,20 @@ class JointBlock(nn.Module):
                             name="attn_norm_added_k")(ck).astype(adt)
 
         # joint attention over [latent; context] (diffusers order); falls
-        # back to the einsum pair off-TPU or at unaligned joint lengths
+        # back to the einsum pair off-TPU or at unaligned joint lengths.
+        # NOT mha_joint: the split-softmax path was A/B'd in-model on the
+        # chip (r3) and LOSES — 5.31 -> 6.58 s/img at SD3-1024 — because
+        # the kernel is VPU-bound (padded keys cost only masked exps) while
+        # the split adds q/k/v slice copies and an f32 score pipeline for
+        # the context pieces.  See PERF.md "attention pad economics".
         from ..ops.attention import mha
+        t_x = x.shape[1]
         q = jnp.concatenate([q, cq], axis=2)
         k = jnp.concatenate([k, ck], axis=2)
         v = jnp.concatenate([v, cv], axis=2)
         o = mha(q, k, v)
         b, _, t_all, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, t_all, d)
-        t_x = x.shape[1]
         o_x, o_c = o[:, :t_x], o[:, t_x:]
 
         x = x + g1[:, None, :] * nn.Dense(d, name="attn_to_out_0")(o_x)
@@ -181,10 +193,17 @@ class MMDiT(nn.Module):
     token_constraint: object = None
 
     @nn.compact
-    def __call__(self, x, t, context, pooled):
+    def __call__(self, x, t, context, pooled, mods=None):
         """x: [B, H, W, C] latents; t: [B] (sigma*1000 convention upstream);
         context: [B, T_ctx, joint_attention_dim]; pooled: [B, pooled_dim].
-        Returns [B, H, W, C] (the velocity prediction)."""
+        Returns [B, H, W, C] (the velocity prediction).
+
+        ``mods``: optional precomputed conditioning from
+        :func:`mmdit_schedule_mods` (one step's slice).  When given, the
+        timestep/pooled embedding MLPs, every block's adaLN matmul and the
+        context embedder are skipped — ``t``/``pooled``/``context`` are
+        ignored.  This is the NI fast path: the schedule is static, so all
+        of those are loop constants hoisted out of the sampling scan."""
         cfg = self.config
         b, hh, ww, _ = x.shape
         p, d = cfg.patch_size, cfg.hidden_size
@@ -198,15 +217,19 @@ class MMDiT(nn.Module):
                                     cfg.sample_size // p)
         tok = tok + jnp.asarray(pos, tok.dtype)[None]
 
-        # cast the conditioning vector to the stream dtype: the sinusoidal
-        # timestep embedding inside TimestepTextEmbed is f32, and an f32 `c`
-        # silently promotes every JointBlock's modulated activations — and
-        # the joint-attention kernel — to f32 (caught by the r3 xprof trace:
-        # flash_attention ran on f32[2,24,4608,64]; same class as the r2
-        # NCSN++ temb fix)
-        c = TimestepTextEmbed(d, name="time_text_embed")(
-            t, pooled).astype(tok.dtype)
-        ctx = nn.Dense(d, name="context_embedder")(context)
+        if mods is not None:
+            c = None
+            ctx = mods["ctx_emb"]
+        else:
+            # cast the conditioning vector to the stream dtype: the
+            # sinusoidal timestep embedding inside TimestepTextEmbed is f32,
+            # and an f32 `c` silently promotes every JointBlock's modulated
+            # activations — and the joint-attention kernel — to f32 (caught
+            # by the r3 xprof trace: flash_attention ran on
+            # f32[2,24,4608,64]; same class as the r2 NCSN++ temb fix)
+            c = TimestepTextEmbed(d, name="time_text_embed")(
+                t, pooled).astype(tok.dtype)
+            ctx = nn.Dense(d, name="context_embedder")(context)
 
         for i in range(cfg.depth):
             if self.token_constraint is not None:
@@ -215,10 +238,14 @@ class MMDiT(nn.Module):
             tok, ctx = JointBlock(
                 cfg.num_heads, context_pre_only=(i == cfg.depth - 1),
                 qk_norm=cfg.qk_norm, name=f"transformer_blocks_{i}",
-            )(tok, ctx, c)
+            )(tok, ctx, c,
+              mods=None if mods is None else mods["blocks"][i])
 
-        mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
-                       name="norm_out_linear")(nn.silu(c))
+        if mods is not None:
+            mod = mods["out"]
+        else:
+            mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
+                           name="norm_out_linear")(nn.silu(c))
         # AdaLayerNormContinuous order: (scale, shift)
         scale, shift = jnp.split(mod, 2, axis=-1)
         tok = nn.LayerNorm(use_bias=False, use_scale=False,
@@ -231,6 +258,54 @@ class MMDiT(nn.Module):
         out = tok.reshape(b, gh, gw, p, p, cfg.in_channels)
         return out.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, gh * p, gw * p, cfg.in_channels)
+
+
+def mmdit_schedule_mods(model: MMDiT, params, t_all, pooled, context,
+                        dtype=None):
+    """Hoist ALL schedule-dependent conditioning out of the NI sampling loop.
+
+    With a static NI schedule every step's conditioning vector — and hence
+    every block's adaLN modulation — is known before the scan starts.  The
+    standard forward recomputes them per step as ``[B, 1536] x [1536, 9216]``
+    matmuls: MXU-starved at inference batch sizes (M=2 for a CFG pair) and
+    re-reading ~57 MB of modulation weights per block per step (~21% of
+    device time in the r3 SD3-1024 profile).  Here the whole schedule runs
+    as ONE ``[S*B, 1536]`` matmul per block at full MXU rate.
+
+    Applies the model's own submodules standalone (same Flax modules, same
+    param subtrees) so there is no duplicated math to drift.
+
+    Returns ``{"blocks": ((mod_x [S,B,6d], mod_c [S,B,{2,6}d]), ...),
+    "out": [S,B,2d], "ctx_emb": [B,T,d]}``.  The per-step leaves (leading
+    ``S``) ride the engine's ``step_inputs``; ``ctx_emb`` is step-constant
+    (the context embedder sees raw text embeddings, not the evolving
+    stream) and closes over the scan body.
+    """
+    cfg = model.config
+    d = cfg.hidden_size
+    s, b = t_all.shape[0], pooled.shape[0]
+    if dtype is None:
+        dtype = params["context_embedder"]["kernel"].dtype
+
+    tt = jnp.repeat(jnp.asarray(t_all, jnp.float32), b)          # [S*B]
+    pp = jnp.broadcast_to(pooled[None], (s,) + pooled.shape
+                          ).reshape(s * b, pooled.shape[-1])
+    c = TimestepTextEmbed(d).apply(
+        {"params": params["time_text_embed"]}, tt, pp).astype(dtype)
+    sc = nn.silu(c)
+
+    def dense(p, x):
+        return nn.Dense(p["kernel"].shape[1]).apply({"params": p}, x)
+
+    blocks = []
+    for i in range(cfg.depth):
+        bp = params[f"transformer_blocks_{i}"]
+        mx = dense(bp["norm1_linear"], sc).reshape(s, b, -1)
+        mc = dense(bp["norm1_context_linear"], sc).reshape(s, b, -1)
+        blocks.append((mx, mc))
+    out = dense(params["norm_out_linear"], sc).reshape(s, b, -1)
+    ctx_emb = dense(params["context_embedder"], context)
+    return {"blocks": tuple(blocks), "out": out, "ctx_emb": ctx_emb}
 
 
 SD3_MEDIUM = MMDiTConfig()

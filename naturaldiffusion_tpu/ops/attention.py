@@ -141,3 +141,94 @@ def mha(q, k, v, *, backend: str = "auto", sm_scale: float | None = None,
         return jnp.einsum("bhqk,bhkc->bhqc", attn, v)
 
     raise ValueError(backend)
+
+
+def mha_joint(q, k, v, *, split: int, sm_scale: float | None = None,
+              backend: str = "auto", block: int = 512,
+              interpret: bool = False):
+    """Joint ``[latent; context]`` attention with NO kernel padding.
+
+    MMDiT's joint stream is ``t_latent + t_ctx`` tokens (4096+154 for
+    SD3-medium at 1024px, ``src/SD3NaturalInference.py:210-213``) — never a
+    multiple of the kernel's tile, so the plain :func:`mha` path pads q/k/v
+    to 4608 and masks with segment ids (+17.5% scores).  The latent block
+    alone IS tile-aligned (4096 = 8x512), so this op splits the softmax
+    instead of padding:
+
+    * latent q x latent kv  — splash kernel, unpadded, ``save_residuals``
+      returns the row logsumexp;
+    * latent q x context kv — tiny einsum (154 keys), merged with the
+      kernel block via the standard two-way logsumexp combine;
+    * context q x ALL kv    — one tiny einsum row-softmax (154 queries).
+
+    **Measured result (v5e, r3): the padded path WINS in-model** — SD3-1024
+    went 5.31 -> 6.58 s/img with this op wired into the JointBlock, and the
+    op-level A/B at [2,24,4250,64] bf16 reads 6.1 ms (padded flash) vs
+    8.6 ms (this).  Mechanism: the flash/splash kernels are VPU-bound at
+    these shapes (~40 TFLOP/s; the softmax exps, not the MXU, are the
+    bottleneck), so masked pad keys cost only ~9% extra exps, while the
+    split costs three q/k/v slice copies (layout copies on [B,H,T,D]) plus
+    an f32 score pipeline for the context pieces.  Rectangular kernels
+    (q=4096 x kv=4608, block 512) measured 6.27-6.30 ms — also no win.
+    Kept as a tested, explicitly-selectable alternative: the economics
+    flip when ``t_ctx`` is large relative to the pad waste or when the
+    latent block is big enough that O(T^2) pad scores dominate the O(T*tc)
+    einsum pieces.
+
+    Falls back to :func:`mha` off-TPU, for ``backend="xla"``, or when
+    ``split`` is not tile-aligned.  ``split`` must be static.
+    """
+    d = q.shape[-1]
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+    t = q.shape[2]
+    t_ctx = t - split
+
+    fast = ((_on_tpu() or interpret) and backend != "xla"
+            and t_ctx > 0 and split >= block and split % block == 0)
+    if not fast:
+        return mha(q, k, v, backend=backend, sm_scale=sm_scale)
+
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm_lib)
+
+    h = q.shape[1]
+    qs = (q * sm_scale).astype(q.dtype)        # splash takes pre-scaled q
+    q_lat, q_ctx = qs[:, :, :split], qs[:, :, split:]
+    k_lat, k_ctx = k[:, :, :split], k[:, :, split:]
+    v_lat, v_ctx = v[:, :, :split], v[:, :, split:]
+
+    sizes = sk.BlockSizes(
+        block_q=block, block_kv=block, block_kv_compute=block,
+        block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=block,
+        block_q_dq=block, block_kv_dq=block)
+    kernel = sk.make_splash_mha_single_device(
+        mask=sm_lib.MultiHeadMask([sm_lib.FullMask((split, split))] * h),
+        block_sizes=sizes, save_residuals=True, interpret=interpret)
+    out_ll, lse_ll = jax.vmap(
+        lambda qq, kk, vv: kernel(qq, kk, vv))(q_lat, k_lat, v_lat)
+    lse_ll = lse_ll[0]                          # [B, H, split]
+
+    # latent q x context kv: 154-key einsum, f32 softmax pieces
+    s_lc = jnp.einsum("bhqc,bhkc->bhqk", q_lat, k_ctx,
+                      preferred_element_type=jnp.float32)
+    m_lc = s_lc.max(axis=-1)
+    e_lc = jnp.exp(s_lc - m_lc[..., None])
+    l_lc = e_lc.sum(axis=-1)
+    lse_lc = m_lc + jnp.log(l_lc)
+    out_lc = jnp.einsum("bhqk,bhkc->bhqc", e_lc.astype(v.dtype), v_ctx)
+
+    # two-way logsumexp merge (out_ll is normalized; out_lc is raw exp sums)
+    lse = jnp.logaddexp(lse_ll, lse_lc)
+    w_ll = jnp.exp(lse_ll - lse)
+    w_lc = jnp.exp(lse_lc - lse) / l_lc
+    out_lat = (out_ll.astype(jnp.float32) * w_ll[..., None]
+               + out_lc.astype(jnp.float32) * w_lc[..., None])
+
+    # context queries: one tiny full-row softmax over all t keys
+    s_c = jnp.einsum("bhqc,bhkc->bhqk", q_ctx, k,
+                     preferred_element_type=jnp.float32)
+    out_c = jnp.einsum("bhqk,bhkc->bhqc",
+                       jax.nn.softmax(s_c, axis=-1).astype(v.dtype), v)
+
+    return jnp.concatenate(
+        [out_lat.astype(q.dtype), out_c.astype(q.dtype)], axis=2)

@@ -78,3 +78,28 @@ def test_auto_on_cpu_is_xla():
     got = mha(q, k, v)           # auto on CPU -> einsum pair
     want = mha(q, k, v, backend="xla")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mha_joint_matches_full_attention():
+    """Split-softmax joint attention (unpadded latent kernel block + the
+    logsumexp-merged context contributions) == one full softmax over the
+    whole [latent; context] row.  interpret=True forces the fast path on
+    CPU; the latent block rides the splash kernel, so this checks the
+    three-piece merge math, not a fallback."""
+    from naturaldiffusion_tpu.ops.attention import mha, mha_joint
+
+    b, h, d, split, tc = 1, 2, 64, 512, 37
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, h, split + tc, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, split + tc, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, split + tc, d), jnp.float32)
+
+    want = mha(q, k, v, backend="xla")
+    got = mha_joint(q, k, v, split=split, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # unaligned split falls back to the padded path (identical math)
+    got_fb = mha_joint(q, k, v, split=500)
+    np.testing.assert_allclose(np.asarray(got_fb), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -206,3 +206,49 @@ def test_scan_pallas_deterministic_schedule():
                             unroll=False, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_step_inputs_threading_all_paths(init):
+    """The engine's per-step aux pytree (``step_inputs``) reaches the model
+    as the k-th slice on every execution path — unroll, XLA scan and the
+    Pallas scan — matching a stateful host-loop oracle.  This is how the
+    precomputed adaLN modulations ride the SD3 sampling scan."""
+    n = 10
+    m = registry.derive("ddim", n)
+    gain = np.random.default_rng(2).uniform(0.5, 1.5, (n,))
+    aux = {"gain": jnp.asarray(gain, jnp.float64)}
+
+    def fn_aux(x, t, a):
+        return toy_x0_fn(x, t) * a["gain"]
+
+    # host oracle: the reference loop is sequential Python, so a counter
+    # closure replays the per-step gain exactly
+    counter = {"k": 0}
+
+    def ref_fn(x, t):
+        g = gain[counter["k"]]
+        counter["k"] += 1
+        return np.asarray(toy_x0_fn(jnp.asarray(x), t)) * g
+
+    want = natural_inference_reference(ref_fn, m, init,
+                                       prediction_type="x0")
+
+    sched = NISchedule.from_matrix(m, dtype=jnp.float64)
+    z = jnp.asarray(init, jnp.float64)
+    kw = dict(prediction_type="x0", accum_dtype=jnp.float64,
+              step_inputs=aux)
+    got_unroll = natural_inference(fn_aux, sched, z, unroll=True, **kw)
+    got_scan = natural_inference(fn_aux, sched, z, unroll=False,
+                                 use_pallas=False, **kw)
+    np.testing.assert_allclose(np.asarray(got_unroll), want, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got_scan), want, atol=1e-10)
+
+    # Pallas scan path (interpret on CPU) is f32-only
+    sched32 = NISchedule.from_matrix(m, dtype=jnp.float32)
+    got_pallas = natural_inference(
+        fn_aux, sched32, jnp.asarray(init, jnp.float32),
+        prediction_type="x0", accum_dtype=jnp.float32,
+        step_inputs=jax.tree.map(lambda a: a.astype(jnp.float32), aux),
+        unroll=False, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got_pallas), want,
+                               atol=1e-4, rtol=1e-4)

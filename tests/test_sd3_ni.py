@@ -131,3 +131,38 @@ def test_euler_weights_cliplen_bands():
     from naturaldiffusion_tpu.coeffs.sd3 import sd3_euler_weights
     w = sd3_euler_weights(6, cliplen=2)
     assert np.count_nonzero(w[4]) == 2 and w[4, 3] != 0 and w[4, 2] == 0
+
+
+def test_schedule_mods_forward_equals_standard():
+    """mmdit_schedule_mods + the mods= fast path == the standard forward:
+    the precompute applies the model's OWN submodules standalone, so the
+    only difference is matmul batching (all steps at once)."""
+    from naturaldiffusion_tpu.models.mmdit import mmdit_schedule_mods
+
+    model, params, noises, cond = _setup()
+    ctx, pooled = cond["context"], cond["pooled"]
+    t_all = jnp.asarray([0.0, 250.0, 999.0], jnp.float32)
+    mods = mmdit_schedule_mods(model, params, t_all, pooled, ctx)
+    ctx_emb = mods.pop("ctx_emb")
+    for k in range(t_all.shape[0]):
+        aux = jax.tree.map(lambda a: a[k], mods)
+        t = jnp.full((noises.shape[0],), t_all[k], jnp.float32)
+        want = model.apply({"params": params}, noises, t, ctx, pooled)
+        got = model.apply({"params": params}, noises, t, ctx, pooled,
+                          mods=dict(aux, ctx_emb=ctx_emb))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("unroll", [True, False])
+def test_sd3_ni_precomputed_mods_match(unroll):
+    """The full SD3 NI run with the schedule-precomputed conditioning ==
+    the per-step recompute path, on both engine execution modes."""
+    model, params, noises, cond = _setup()
+    w = _random_weights(8)
+    a = sd3_natural_inference(model, params, noises, w, num_step=8,
+                              unroll=unroll, precompute_mods=True, **cond)
+    b = sd3_natural_inference(model, params, noises, w, num_step=8,
+                              unroll=unroll, precompute_mods=False, **cond)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
