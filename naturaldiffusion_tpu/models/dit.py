@@ -99,11 +99,18 @@ class DiTBlock(nn.Module):
     mesh: object = None
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, mods=None):
         d = x.shape[-1]
-        mod = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros,
-                       name="adaLN_modulation_1")(nn.silu(c))
+        if mods is not None:
+            # schedule-precomputed adaLN vector (dit_schedule_mods): with a
+            # static NI schedule the [B, d]x[d, 6d] modulation matmul is a
+            # loop constant — at inference batch sizes it is MXU-starved
+            # and its weights are ~1/3 of DiT's per-step HBM reads
+            mod = mods
+        else:
+            mod = nn.Dense(6 * d, kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           name="adaLN_modulation_1")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
         x = x + g_a[:, None, :] * Attention(
@@ -119,11 +126,14 @@ class FinalLayer(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, mods=None):
         d = x.shape[-1]
-        mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros,
-                       name="adaLN_modulation_1")(nn.silu(c))
+        if mods is not None:
+            mod = mods
+        else:
+            mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           name="adaLN_modulation_1")(nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
         x = modulate(nn.LayerNorm(use_bias=False, use_scale=False,
                                   epsilon=1e-6)(x), shift, scale)
@@ -163,9 +173,16 @@ class DiT(nn.Module):
     mesh: object = None
 
     @nn.compact
-    def __call__(self, x, t, y, *, train: bool = False, rng=None):
+    def __call__(self, x, t, y, *, train: bool = False, rng=None,
+                 mods=None):
         """x: [B, H, W, C] (NHWC); t: [B]; y: [B] int labels.
-        Returns [B, H, W, out_channels]."""
+        Returns [B, H, W, out_channels].
+
+        ``mods``: optional precomputed conditioning from
+        :func:`dit_schedule_mods` (one step's slice); when given, the
+        timestep/label embedders and every adaLN matmul are skipped —
+        ``t``/``y`` are ignored (inference fast path; the NI schedule and
+        labels are loop constants)."""
         cfg = self.config
         b, hh, ww, cin = x.shape
         p, d = cfg.patch_size, cfg.hidden_size
@@ -178,23 +195,28 @@ class DiT(nn.Module):
         pos = jnp.asarray(get_2d_sincos_pos_embed(d, gh), tok.dtype)
         tok = tok + pos[None]
 
-        temb = timestep_embedding(t, 256)
-        temb = nn.Dense(d, name="t_embedder_mlp_0")(temb)
-        temb = nn.Dense(d, name="t_embedder_mlp_2")(nn.silu(temb))
+        if mods is not None:
+            c = None
+        else:
+            temb = timestep_embedding(t, 256)
+            temb = nn.Dense(d, name="t_embedder_mlp_0")(temb)
+            temb = nn.Dense(d, name="t_embedder_mlp_2")(nn.silu(temb))
 
-        n_embed = cfg.num_classes + (1 if cfg.class_dropout_prob > 0 else 0)
-        if train and cfg.class_dropout_prob > 0:
-            rng = rng if rng is not None else self.make_rng("label_dropout")
-            drop = jax.random.uniform(rng, (b,)) < cfg.class_dropout_prob
-            y = jnp.where(drop, cfg.num_classes, y)
-        yemb = nn.Embed(n_embed, d,
-                        embedding_init=nn.initializers.normal(0.02),
-                        name="y_embedder_embedding_table")(y)
-        # the sinusoidal embedding is f32; without this cast the adaLN
-        # modulation promotes EVERY block's activations (and the attention
-        # kernel) to f32 — the same silent-promotion class the r2 NCSN++
-        # bf16 fix closed (PERF.md "bf16 actually end-to-end")
-        c = (temb + yemb).astype(tok.dtype)
+            n_embed = cfg.num_classes + (1 if cfg.class_dropout_prob > 0
+                                         else 0)
+            if train and cfg.class_dropout_prob > 0:
+                rng = rng if rng is not None else self.make_rng(
+                    "label_dropout")
+                drop = jax.random.uniform(rng, (b,)) < cfg.class_dropout_prob
+                y = jnp.where(drop, cfg.num_classes, y)
+            yemb = nn.Embed(n_embed, d,
+                            embedding_init=nn.initializers.normal(0.02),
+                            name="y_embedder_embedding_table")(y)
+            # the sinusoidal embedding is f32; without this cast the adaLN
+            # modulation promotes EVERY block's activations (and the
+            # attention kernel) to f32 — the same silent-promotion class the
+            # r2 NCSN++ bf16 fix closed (PERF.md "bf16 actually end-to-end")
+            c = (temb + yemb).astype(tok.dtype)
 
         for i in range(cfg.depth):
             if self.token_constraint is not None:
@@ -202,14 +224,62 @@ class DiT(nn.Module):
                     tok, self.token_constraint)
             tok = DiTBlock(cfg.num_heads, cfg.mlp_ratio,
                            attn_backend=self.attn_backend, mesh=self.mesh,
-                           name=f"blocks_{i}")(tok, c)
-        tok = FinalLayer(p, cfg.out_channels, name="final_layer")(tok, c)
+                           name=f"blocks_{i}")(
+                tok, c, mods=None if mods is None else mods["blocks"][i])
+        tok = FinalLayer(p, cfg.out_channels, name="final_layer")(
+            tok, c, mods=None if mods is None else mods["final"])
 
         # unpatchify -> NHWC
         out = tok.reshape(b, gh, gw, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, gh * p, gw * p, cfg.out_channels)
         return out
+
+
+def dit_schedule_mods(model: DiT, params, t_all, y, dtype=None):
+    """Hoist DiT's schedule-dependent conditioning out of the NI loop.
+
+    Same design as ``mmdit_schedule_mods``: with a static NI schedule (and
+    fixed class labels) the conditioning vector ``c = temb(t) + yemb(y)``
+    and every block's adaLN modulation are loop constants.  At DiT-XL/2's
+    inference batch sizes the per-step modulation matmuls are MXU-starved
+    AND their weights (28 x [1152, 6912] ~ 446 MB bf16) are ~1/3 of the
+    step's total HBM weight reads, so the hoist attacks the weight-read
+    floor directly.  Applies the model's own submodules standalone — no
+    duplicated math.
+
+    ``t_all``: [S] schedule times; ``y``: [B] int labels (the CFG-doubled
+    vector, reference convention).  Returns ``{"blocks": (mod [S,B,6d],
+    ...), "final": [S,B,2d]}`` for the engine's ``step_inputs=`` hook.
+    """
+    cfg = model.config
+    d = cfg.hidden_size
+    s, b = t_all.shape[0], y.shape[0]
+    if dtype is None:
+        dtype = params["x_embedder_proj"]["kernel"].dtype
+
+    temb = timestep_embedding(jnp.asarray(t_all, jnp.float32), 256)
+    for name in ("t_embedder_mlp_0", "t_embedder_mlp_2"):
+        p = params[name]
+        if name.endswith("_2"):
+            temb = nn.silu(temb)
+        temb = nn.Dense(p["kernel"].shape[1]).apply({"params": p}, temb)
+    table = params["y_embedder_embedding_table"]["embedding"]
+    yemb = nn.Embed(table.shape[0], table.shape[1]).apply(
+        {"params": params["y_embedder_embedding_table"]}, y)
+    c = (temb[:, None, :] + yemb[None]).astype(dtype)       # [S, B, d]
+    sc = nn.silu(c).reshape(s * b, d)
+
+    def dense(p, x):
+        return nn.Dense(p["kernel"].shape[1]).apply({"params": p}, x)
+
+    blocks = tuple(
+        dense(params[f"blocks_{i}"]["adaLN_modulation_1"], sc
+              ).reshape(s, b, -1)
+        for i in range(cfg.depth))
+    final = dense(params["final_layer"]["adaLN_modulation_1"], sc
+                  ).reshape(s, b, -1)
+    return {"blocks": blocks, "final": final}
 
 
 def forward_with_cfg(apply_fn, x, t, y, cfg_scale: float, in_channels: int):

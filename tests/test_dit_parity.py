@@ -185,3 +185,38 @@ def test_dit_label_dropout_uses_null_token(small_cfg):
     out_null = model.apply(params, x, t, jnp.asarray([10, 10]))
     np.testing.assert_allclose(np.asarray(out_drop), np.asarray(out_null),
                                atol=1e-6)
+
+
+def test_dit_schedule_mods_forward_equals_standard():
+    """dit_schedule_mods + the mods= fast path == the standard forward
+    (same submodules applied standalone; only the matmul batching differs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from naturaldiffusion_tpu.models.dit import (DiT, DiTConfig,
+                                                 dit_schedule_mods)
+
+    cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                    hidden_size=64, depth=2, num_heads=4, num_classes=10)
+    model = DiT(config=cfg)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (4, 8, 8, 4), jnp.float32)
+    y = jax.random.randint(ks[1], (4,), 0, 10)
+    params = model.init(ks[2], x[:1], jnp.zeros(1),
+                        jnp.zeros(1, jnp.int32))["params"]
+    # adaLN-Zero inits the modulation Dense to zero; perturb so the mods
+    # actually drive the blocks
+    key = jax.random.PRNGKey(7)
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(key, p.shape)
+        if p.ndim >= 2 else p, params)
+
+    t_all = jnp.asarray([999.0, 500.0, 1.0], jnp.float32)
+    mods = dit_schedule_mods(model, params, t_all, y)
+    for k in range(3):
+        aux = jax.tree.map(lambda a: a[k], mods)
+        t = jnp.full((4,), t_all[k], jnp.float32)
+        want = model.apply({"params": params}, x, t, y)
+        got = model.apply({"params": params}, x, t, y, mods=aux)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
