@@ -39,7 +39,8 @@ import numpy as np
 from .cifar10_ni import load_params, make_sampler
 from ..coeffs import registry
 from ..coeffs.matrix import CoeffMatrix
-from ..eval.fid import (activations, compute_statistics, frechet_distance)
+from ..eval.fid import (activations, compute_statistics, frechet_distance,
+                        inception_score)
 from ..models.ncsnpp import NCSNpp, CIFAR10_DDPMPP_CONTINUOUS
 from ..parallel import make_mesh, batch_sharding
 
@@ -50,7 +51,12 @@ def sample_images(args, mesh) -> tuple[np.ndarray, float, float]:
 
     matrix = CoeffMatrix.load(args.weights) if args.weights \
         else registry.derive("ddpm", args.steps)
-    model = NCSNpp(config=CIFAR10_DDPMPP_CONTINUOUS)
+    cfg = CIFAR10_DDPMPP_CONTINUOUS
+    if args.toy:
+        from ..models.ncsnpp import NCSNppConfig
+        cfg = NCSNppConfig(nf=16, ch_mult=(1, 2), num_res_blocks=1,
+                           attn_resolutions=(16,), dropout=0.0)
+    model = NCSNpp(config=cfg)
     params = load_params(args.ckpt, model, jax.random.PRNGKey(0))
     run = make_sampler(params, model, matrix, batch=args.batch,
                        micro=args.micro)
@@ -99,10 +105,21 @@ def main(argv=None) -> int:
                    help="pt_inception-2015-12-05.pth")
     p.add_argument("--ref-stats", default=None,
                    help="cifar10_mu_sigma.npz for a real FID number")
+    p.add_argument("--no-is", action="store_true",
+                   help="skip the Inception Score head (pool-only pass)")
+    p.add_argument("--toy", action="store_true",
+                   help="tiny NCSN++ (smoke tests; estimator checks only)")
+    p.add_argument("--feat-dim", type=int, default=0,
+                   help="use only the first D pool features (0 = all 2048). "
+                        "For smoke-scale runs: with N < ~2048 samples the "
+                        "full covariances are rank-deficient and sqrtm "
+                        "raises, exactly like pytorch-fid at tiny N")
     p.add_argument("--out", default="results/FID/selfcheck.csv")
     args = p.parse_args(argv)
 
     prov = "converted" if args.ckpt else "random"
+    if args.toy:
+        prov += "-toy"          # never mistakable for the full-size run
     # env var may be seen too late (jax imports with the package); the
     # config update is authoritative either way
     jax.config.update("jax_compilation_cache_dir",
@@ -115,9 +132,12 @@ def main(argv=None) -> int:
     images, sample_rate, sample_wall = sample_images(args, mesh)
     assert np.isfinite(images).all(), "sampler produced non-finite pixels"
 
-    # ---- inception features over all N (the reference's get_activation) ----
+    # ---- inception features over all N (the reference's get_activation;
+    # one pass serves both FID pool features and IS logits, like
+    # deps/score_sde_pytorch/run_lib.py:175-407) ---------------------------
     from ..eval.inception import default_feature_fn
-    feature_fn = default_feature_fn(args.inception)
+    with_logits = not args.no_is
+    feature_fn = default_feature_fn(args.inception, with_logits=with_logits)
     imgs01 = np.clip((images + 1.0) * 0.5, 0.0, 1.0)
     t0 = time.time()
     feats = activations(imgs01, feature_fn, batch_size=args.feat_batch,
@@ -127,6 +147,15 @@ def main(argv=None) -> int:
     feat_rate = len(feats) / feat_wall
     print(f"  features {feats.shape} in {feat_wall:.1f}s "
           f"({feat_rate:.0f} img/s)")
+    is_mean = is_std = None
+    if with_logits:
+        logits = feats[:, 2048:].astype(np.float64)
+        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs /= probs.sum(axis=1, keepdims=True)
+        is_mean, is_std = inception_score(probs)
+        feats = feats[:, :2048]
+    if args.feat_dim:
+        feats = feats[:, :args.feat_dim]
 
     # ---- statistics + the two estimator properties ------------------------
     mu, sigma = compute_statistics(feats)
@@ -141,7 +170,9 @@ def main(argv=None) -> int:
     feats_shift = activations(shifted01, feature_fn,
                               batch_size=args.feat_batch,
                               mesh=mesh if mesh.devices.size > 1 else None,
-                              pad_to_batch=True)
+                              pad_to_batch=True)[:, :2048]
+    if args.feat_dim:
+        feats_shift = feats_shift[:, :args.feat_dim]
     shift_wall = time.time() - t0
     mu_s, sig_s = compute_statistics(feats_shift)
     shifted_fid = frechet_distance(mu, sigma, mu_s, sig_s)
@@ -166,6 +197,8 @@ def main(argv=None) -> int:
         "shifted_over_self": float(f"{ratio:.4g}"),
         "fid_vs_ref_stats": round(real_fid, 4) if real_fid is not None
         else "",
+        "is_mean": round(is_mean, 4) if is_mean is not None else "",
+        "is_std": round(is_std, 4) if is_std is not None else "",
         "sample_img_per_sec": round(sample_rate, 1),
         "feature_img_per_sec": round(feat_rate, 1),
         "sample_wall_s": round(sample_wall, 1),

@@ -68,11 +68,13 @@ def activations(images: np.ndarray, feature_fn: Callable,
             padded = np.concatenate(
                 [images[n - tail:],
                  np.repeat(images[-1:], batch_size - tail, axis=0)])
-            head = activations(images[:n - tail], feature_fn,
-                               batch_size=batch_size, mesh=mesh)
             last = activations(padded, feature_fn,
                                batch_size=batch_size, mesh=mesh)[:tail]
-            return np.concatenate([head, last]) if len(head) else last
+            if n == tail:       # whole input smaller than one batch
+                return last
+            head = activations(images[:n - tail], feature_fn,
+                               batch_size=batch_size, mesh=mesh)
+            return np.concatenate([head, last])
     if mesh is not None:
         from ..parallel import batch_sharding
         import jax

@@ -225,12 +225,22 @@ def load_fid_inception_params(pth_path: str, template=None):
                                        template=template)
 
 
-def default_feature_fn(pth_path: str | None = None):
+def default_feature_fn(pth_path: str | None = None,
+                       with_logits: bool = False):
     """Jitted [N,H,W,C]-in-[0,1] -> [N,2048] feature fn; random weights when
-    no checkpoint is supplied (useful for smoke tests, NOT for real FID)."""
-    model = FIDInceptionV3()
+    no checkpoint is supplied (useful for smoke tests, NOT for real FID).
+
+    ``with_logits=True`` appends the 1008-way IS logits, returning
+    [N, 2048+1008] (pool ‖ logits) so one pass serves both FID and IS —
+    the reference computes them from the same activations
+    (``deps/score_sde_pytorch/run_lib.py:175-407``)."""
+    model = FIDInceptionV3(with_logits=with_logits)
     if pth_path:
-        params, _ = load_fid_inception_params(pth_path)
+        template = None
+        if with_logits:   # keep the fc head in the converted tree
+            template = model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 32, 32, 3)))["params"]
+        params, _ = load_fid_inception_params(pth_path, template=template)
     else:
         # jitted init: eager init is one tunnel RPC per primitive on the
         # remote-TPU backend (~minutes for inception's ~300 modules)
@@ -239,6 +249,10 @@ def default_feature_fn(pth_path: str | None = None):
 
     @jax.jit
     def fn(images):
-        return model.apply({"params": params}, jnp.asarray(images))
+        out = model.apply({"params": params}, jnp.asarray(images))
+        if with_logits:
+            pool, logits = out
+            return jnp.concatenate([pool, logits], axis=-1)
+        return out
 
     return fn
