@@ -22,7 +22,8 @@ import numpy as np
 from ..coeffs.matrix import CoeffMatrix
 from ..coeffs import registry
 from ..engine import NISchedule, natural_inference
-from ..models.ncsnpp import NCSNpp, CIFAR10_DDPMPP_CONTINUOUS
+from ..models.ncsnpp import (NCSNpp, CIFAR10_DDPMPP_CONTINUOUS,
+                             ncsnpp_schedule_biases)
 from ..parallel import make_mesh, batch_sharding
 from ..utils.plotting import save_image_grid
 
@@ -50,24 +51,31 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
     jit — 64 keeps the inter-fusion working set on-chip (717 vs ~550
     img/s device rate at batch 512 on v5e; PERF.md)."""
     sched = NISchedule.from_matrix(matrix)
+    n = sched.num_step
     p = jax.tree.map(lambda a: a.astype(dtype), params)
 
-    def eps_fn(z, t):
+    def eps_fn(z, t, mods):
         return model.apply({"params": p}, z.astype(dtype),
-                           jnp.full((z.shape[0],), t, jnp.float32))
+                           jnp.full((z.shape[0],), t, jnp.float32),
+                           mods=mods)
 
-    def one(init, key):
-        return natural_inference(eps_fn, sched, init, key=key,
-                                 prediction_type="eps", model_dtype=dtype)
+    def one(init, key, mods):
+        return natural_inference(
+            lambda z, t, aux: eps_fn(z, t, aux), sched, init, key=key,
+            prediction_type="eps", model_dtype=dtype, step_inputs=mods)
 
     def run(init, key):
+        # schedule-hoisted conditioning: the temb chain + every resblock
+        # Dense_0 are loop constants under the static NI schedule (PERF.md)
+        mods = ncsnpp_schedule_biases(model, p, sched.node[:n, 0],
+                                      dtype=dtype)
         bb = init.shape[0]           # static at trace time (tail batches)
         if not micro or bb % micro or bb <= micro:
-            return one(init, key)
+            return one(init, key, mods)
         nchunk = bb // micro
         zs = init.reshape(nchunk, micro, *init.shape[1:])
         keys = jax.random.split(key, nchunk)
-        out = jax.lax.map(lambda zk: one(zk[0], zk[1]), (zs, keys))
+        out = jax.lax.map(lambda zk: one(zk[0], zk[1], mods), (zs, keys))
         return out.reshape(init.shape)
 
     return jax.jit(run)

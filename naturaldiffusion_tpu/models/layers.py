@@ -252,15 +252,14 @@ class ResnetBlockDDPMpp(nn.Module):
     init_scale: float = 0.0
 
     @nn.compact
-    def __call__(self, x, temb=None, *, deterministic: bool = True):
+    def __call__(self, x, temb=None, *, tb=None, deterministic: bool = True):
         act = nn.silu
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
                        act="silu")(x)
         h = conv3x3(out_ch, name="Conv_0")(h)
-        tb = None
-        if temb is not None:
+        if tb is None and temb is not None:
             tb = nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=jax.nn.initializers.zeros,
                           name="Dense_0")(act(temb))
@@ -290,7 +289,7 @@ class ResnetBlockBigGANpp(nn.Module):
     init_scale: float = 0.0
 
     @nn.compact
-    def __call__(self, x, temb=None, *, deterministic: bool = True):
+    def __call__(self, x, temb=None, *, tb=None, deterministic: bool = True):
         act = nn.silu
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
@@ -313,8 +312,7 @@ class ResnetBlockBigGANpp(nn.Module):
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
         h = conv3x3(out_ch, name="Conv_0")(h)
-        tb = None
-        if temb is not None:
+        if tb is None and temb is not None:
             tb = nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=jax.nn.initializers.zeros,
                           name="Dense_0")(act(temb))

@@ -247,6 +247,11 @@ def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
     barrier is a ~6% win)."""
     if (_FORCE_PALLAS and jax.default_backend() == "tpu"
             and _eligible(x, num_groups)):
+        if extra_bias is not None and extra_bias.shape[0] != x.shape[0]:
+            # schedule-hoisted temb projections arrive [1, C]; the kernel's
+            # block spec wants a real batch row per block
+            extra_bias = jnp.broadcast_to(
+                extra_bias, (x.shape[0], extra_bias.shape[-1]))
         return group_norm_pallas(x, scale, bias, num_groups, eps=eps,
                                  act=act, extra_bias=extra_bias)
     if extra_bias is not None:
