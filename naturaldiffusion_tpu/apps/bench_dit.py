@@ -26,7 +26,7 @@ import numpy as np
 
 from ..coeffs import registry
 from ..engine import NISchedule, natural_inference
-from ..models.dit import (DIT_CONFIGS, DiT, dit_schedule_mods,
+from ..models.dit import (DIT_CONFIGS, DiT, DiTConfig, dit_schedule_mods,
                           forward_with_cfg)
 
 
@@ -40,9 +40,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-mods", action="store_true",
                    help="recompute adaLN mods every step (A/B control)")
     p.add_argument("--trace", default=None)
+    p.add_argument("--toy", action="store_true",
+                   help="tiny DiT (smoke tests — timing meaningless)")
     args = p.parse_args(argv)
 
-    cfg = DIT_CONFIGS[args.model]
+    cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                    hidden_size=64, depth=2, num_heads=2,
+                    num_classes=10) if args.toy else DIT_CONFIGS[args.model]
     model = DiT(config=cfg)
     b, n = args.batch, args.steps
     cin = cfg.in_channels
@@ -108,10 +112,11 @@ def main(argv=None) -> int:
         with jax.profiler.trace(args.trace):
             _ = run()
     print(json.dumps({
-        "model": f"{args.model} ({n_par/1e6:.0f}M params)",
+        "model": ("toy-dit" if args.toy else args.model)
+                 + f" ({n_par/1e6:.0f}M params)",
         "steps": n, "batch": b, "mods": not args.no_mods,
-        "sec_per_image": round(dt / b, 3),
-        "transformer_fwd_ms": round(dt / (n * b) * 1e3, 2),
+        "sec_per_image": round(dt / b, 6),
+        "transformer_fwd_ms": round(dt / (n * b) * 1e3, 4),
         "img_per_min_per_chip": round(60.0 * b / dt, 1),
     }))
     return 0

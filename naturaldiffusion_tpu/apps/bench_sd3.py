@@ -40,9 +40,17 @@ def main(argv=None) -> int:
     p.add_argument("--no-mods", action="store_true",
                    help="disable the precomputed-conditioning fast path "
                         "(A/B control: recompute adaLN mods every step)")
+    p.add_argument("--toy", action="store_true",
+                   help="tiny MMDiT (smoke tests — timing meaningless)")
     args = p.parse_args(argv)
 
     cfg = SD3_MEDIUM
+    if args.toy:
+        cfg = MMDiTConfig(sample_size=max(args.latent, 8), patch_size=2,
+                          in_channels=4, hidden_size=64, depth=2,
+                          num_heads=2, caption_projection_dim=64,
+                          joint_attention_dim=32, pooled_projection_dim=32,
+                          pos_embed_max_size=16)
     model = MMDiT(config=cfg)
     b, hw = args.batch, args.latent
     key = jax.random.PRNGKey(0)
@@ -100,10 +108,11 @@ def main(argv=None) -> int:
         with jax.profiler.trace(args.trace):
             _ = run()
     print(json.dumps({
-        "model": f"SD3-medium ({n_par/1e9:.2f}B params)",
+        "model": ("toy-mmdit" if args.toy else "SD3-medium")
+                 + f" ({n_par/1e9:.2f}B params)",
         "latent": hw, "steps": args.steps, "batch": b,
-        "sec_per_image": round(dt / b, 2),
-        "transformer_fwd_ms": round(dt / (args.steps * 2 * b) * 1e3, 1),
+        "sec_per_image": round(dt / b, 6),
+        "transformer_fwd_ms": round(dt / (args.steps * 2 * b) * 1e3, 4),
         "img_per_min_per_chip": round(60.0 * b / dt, 2),
     }))
     return 0
