@@ -76,14 +76,14 @@ def bench(t: int, b: int = 2, h: int = 24, d: int = 64, reps: int = 20):
     }))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--lengths", type=int, nargs="+",
                     default=[4096, 4250, 4429])
     # 4250 = 4096 + 154 (SD3 CLIP77+77 context); 4429 = +T5-333 variant
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--heads", type=int, default=24)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     for t in args.lengths:
         bench(t, b=args.batch, h=args.heads)
 
