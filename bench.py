@@ -42,6 +42,8 @@ MICRO = int(os.environ.get("BENCH_MICRO", "64"))
 # per-chunk batch (VMEM-resident sweet spot, see above); env-overridable
 # for micro-batch sweeps without editing the file
 TOTAL = 1024      # images per timed dispatch
+assert TOTAL % MICRO == 0, \
+    f"BENCH_MICRO={MICRO} must divide TOTAL={TOTAL} (fail fast, not after compile)"
 NUM_STEP = 10
 TARGET = 1000.0   # img/s/chip (BASELINE.md driver target)
 V5E_PEAK = 197e12  # bf16 TFLOP/s

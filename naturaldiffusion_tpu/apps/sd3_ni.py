@@ -69,24 +69,12 @@ def make_cfg_fwd_mods(model, params, *, context, pooled, neg_context,
     ALL steps in one full-MXU pass (:func:`mmdit_schedule_mods`) instead of
     recomputed per step at MXU-starved M=2.  Returns ``(fwd, step_inputs)``
     for the engine's ``step_inputs=`` hook — ``fwd(z, t, aux)``."""
-    from ..models.mmdit import mmdit_schedule_mods
+    from ..models.mmdit import mmdit_cfg_fwd_mods
 
     ctx2 = jnp.concatenate([context, neg_context], axis=0)
     pool2 = jnp.concatenate([pooled, neg_pooled], axis=0)
-    mods = mmdit_schedule_mods(model, params, t_all, pool2, ctx2)
-    ctx_emb = mods.pop("ctx_emb")          # step-constant: closes over fwd
-    step_inputs = mods                     # leaves carry the leading [S]
-
-    def fwd(z, t, aux):
-        b = z.shape[0]
-        z2 = jnp.concatenate([z, z], axis=0)
-        t2 = jnp.full((2 * b,), t, jnp.float32)   # unused under mods=
-        v2 = model.apply({"params": params}, z2, t2, ctx2, pool2,
-                         mods=dict(aux, ctx_emb=ctx_emb))
-        text_v, null_v = v2[:b], v2[b:]
-        return null_v + cfg_scale * (text_v - null_v)
-
-    return fwd, step_inputs
+    return mmdit_cfg_fwd_mods(model, params, ctx2=ctx2, pool2=pool2,
+                              t_all=t_all, cfg_scale=cfg_scale)
 
 
 def sd3_natural_inference(model, params, noises, weights, *, context,

@@ -61,6 +61,14 @@ def activations(images: np.ndarray, feature_fn: Callable,
     ``pad_to_batch``: edge-pad the tail chunk up to a full ``batch_size`` so
     the jitted feature fn compiles exactly ONE shape (a fresh tail shape
     costs a full XLA recompile — minutes for InceptionV3 on the tunnel)."""
+    if mesh is not None:
+        # resolve the device-multiple batch size BEFORE the pad_to_batch
+        # split, or the padded tail (caller's batch_size) and the loop
+        # (rounded batch_size) disagree and a remainder chunk sneaks in a
+        # second compiled shape — the exact recompile the flag exists to
+        # avoid
+        ndev = mesh.devices.size
+        batch_size = max(batch_size // ndev * ndev, ndev)
     if pad_to_batch:
         n = len(images)
         tail = n % batch_size
@@ -78,8 +86,6 @@ def activations(images: np.ndarray, feature_fn: Callable,
     if mesh is not None:
         from ..parallel import batch_sharding
         import jax
-        ndev = mesh.devices.size
-        batch_size = max(batch_size // ndev * ndev, ndev)
 
         def put(x):
             return jax.device_put(x, batch_sharding(mesh, x.ndim))

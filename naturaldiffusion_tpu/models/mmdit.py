@@ -219,7 +219,7 @@ class MMDiT(nn.Module):
 
         if mods is not None:
             c = None
-            ctx = mods["ctx_emb"]
+            ctx = mods["ctx_emb"].astype(tok.dtype)
         else:
             # cast the conditioning vector to the stream dtype: the
             # sinusoidal timestep embedding inside TimestepTextEmbed is f32,
@@ -229,7 +229,12 @@ class MMDiT(nn.Module):
             # f32[2,24,4608,64]; same class as the r2 NCSN++ temb fix)
             c = TimestepTextEmbed(d, name="time_text_embed")(
                 t, pooled).astype(tok.dtype)
-            ctx = nn.Dense(d, name="context_embedder")(context)
+            # same class of silent promotion via the OTHER conditioning
+            # input: real text encoders emit f32 context, and an f32 ctx
+            # stream promotes q/k/v (joint concat) and the latent stream
+            # (x + g*Dense(o_x)) right back to f32
+            ctx = nn.Dense(d, name="context_embedder")(
+                context.astype(tok.dtype))
 
         for i in range(cfg.depth):
             if self.token_constraint is not None:
@@ -304,8 +309,41 @@ def mmdit_schedule_mods(model: MMDiT, params, t_all, pooled, context,
         mc = dense(bp["norm1_context_linear"], sc).reshape(s, b, -1)
         blocks.append((mx, mc))
     out = dense(params["norm_out_linear"], sc).reshape(s, b, -1)
-    ctx_emb = dense(params["context_embedder"], context)
+    # compute (and store) the hoisted context embedding in the stream dtype:
+    # real text encoders emit f32 context, which would otherwise ride into
+    # the scan as a full-width f32 loop constant and re-promote the streams
+    ctx_emb = dense(params["context_embedder"], context.astype(dtype))
     return {"blocks": tuple(blocks), "out": out, "ctx_emb": ctx_emb}
+
+
+def mmdit_cfg_fwd_mods(model: MMDiT, params, *, ctx2, pool2, t_all,
+                       cfg_scale: float = 7.0):
+    """CFG-fused predictor on the precomputed-conditioning fast path.
+
+    ``ctx2``/``pool2`` are the CFG-doubled conditioning ([text ‖ null]).
+    Returns ``(fwd, step_inputs)`` for the engine's ``step_inputs=`` hook —
+    ``fwd(z, t, aux)`` runs the batch-doubled model and combines
+    ``null + cfg_scale * (text - null)``.  The per-step adaLN mods carry a
+    leading [S] and scan in; the context embedding is step-constant and
+    closes over ``fwd``.  Shared by ``apps/sd3_ni.make_cfg_fwd_mods`` and
+    ``SD3Pipeline`` so the hoist/CFG conventions cannot drift apart."""
+    mods = mmdit_schedule_mods(model, params, t_all, pool2, ctx2)
+    ctx_emb = mods.pop("ctx_emb")          # step-constant: closes over fwd
+    step_inputs = mods                     # leaves carry the leading [S]
+
+    def fwd(z, t, aux):
+        b = z.shape[0]
+        z2 = jnp.concatenate([z, z], axis=0)
+        # timestep stays f32: bf16 would quantize ~1000-scale timesteps to
+        # spacing 4, desyncing the conditioning from the f32 sigma
+        # reprojection (unused under mods=, but kept for shape/trace parity)
+        t2 = jnp.full((2 * b,), t, jnp.float32)
+        v2 = model.apply({"params": params}, z2, t2, ctx2, pool2,
+                         mods=dict(aux, ctx_emb=ctx_emb))
+        text_v, null_v = v2[:b], v2[b:]
+        return null_v + cfg_scale * (text_v - null_v)
+
+    return fwd, step_inputs
 
 
 SD3_MEDIUM = MMDiTConfig()

@@ -100,26 +100,13 @@ class SD3Pipeline:
             # the schedule is static -> all timestep embeddings + adaLN
             # modulations are loop constants, precomputed in one full-MXU
             # pass and scanned in via the engine's step_inputs hook
-            from .models.mmdit import mmdit_schedule_mods
-            mods = mmdit_schedule_mods(model, params,
-                                       sched.node[:num_steps, 0],
-                                       pool2, ctx2)
-            ctx_emb = mods.pop("ctx_emb")
-
-            def fwd(zz, t, aux):
-                b = zz.shape[0]
-                z2 = jnp.concatenate([zz, zz], axis=0)
-                # timestep stays f32: bf16 would quantize ~1000-scale
-                # timesteps to spacing 4, desyncing the conditioning from
-                # the f32 sigma reprojection (unused under mods=)
-                t2 = jnp.full((2 * b,), t, jnp.float32)
-                v2 = model.apply({"params": params}, z2, t2, ctx2, pool2,
-                                 mods=dict(aux, ctx_emb=ctx_emb))
-                return v2[b:] + cfg_scale * (v2[:b] - v2[b:])
-
+            from .models.mmdit import mmdit_cfg_fwd_mods
+            fwd, step_inputs = mmdit_cfg_fwd_mods(
+                model, params, ctx2=ctx2, pool2=pool2,
+                t_all=sched.node[:num_steps, 0], cfg_scale=cfg_scale)
             return natural_inference(fwd, sched, z,
                                      prediction_type="v_flow",
-                                     unroll=False, step_inputs=mods)
+                                     unroll=False, step_inputs=step_inputs)
 
         cache[num_steps] = jax.jit(run)
         return cache[num_steps]

@@ -180,12 +180,17 @@ class CLIPBPETokenizer:
         return [self.encoder.get(t, self.unk_id) for t in self.tokenize(text)]
 
     def __call__(self, texts: str | list[str],
-                 context_length: int = 77) -> np.ndarray:
+                 context_length: int = 77,
+                 pad_token: str | None = None) -> np.ndarray:
         """HF ``padding='max_length', truncation=True`` layout:
-        ``[bos, t0..tk, eos, pad...]`` with eos-padding (diffusers SD3)."""
+        ``[bos, t0..tk, eos, pad...]``.  Default pad is eos (CLIP-L /
+        ``CLIPTokenizer``); SD3's CLIP-G tokenizer_2 pads with ``"!"``
+        (id 0) instead — pass ``pad_token="!"`` for that layout."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.full((len(texts), context_length), self.pad_id, np.int32)
+        pad_id = self.encoder[pad_token] if pad_token is not None \
+            else self.pad_id
+        out = np.full((len(texts), context_length), pad_id, np.int32)
         for i, text in enumerate(texts):
             ids = self.encode(text)[: context_length - 2]
             row = [self.bos_id, *ids, self.eos_id]

@@ -29,11 +29,18 @@ def sd3_tokenize_ids(prompt: str | list[str],
         negative_prompt = [negative_prompt] * len(prompt)
     clip_g = clip_g or clip_l
 
+    # diffusers SD3: tokenizer (CLIP-L) pads with eos, tokenizer_2 (CLIP-G)
+    # pads with "!" (id 0); both CLIP-G encoders run unmasked, so the pad id
+    # is numerically load-bearing.  Synthetic test vocabs without "!" fall
+    # back to eos-padding (the two layouts coincide only there).
+    g_pad = "!" if "!" in clip_g.encoder else None
     ids = {
         "ids_l": clip_l(prompt, context_length=clip_length),
-        "ids_g": clip_g(prompt, context_length=clip_length),
+        "ids_g": clip_g(prompt, context_length=clip_length,
+                        pad_token=g_pad),
         "neg_ids_l": clip_l(negative_prompt, context_length=clip_length),
-        "neg_ids_g": clip_g(negative_prompt, context_length=clip_length),
+        "neg_ids_g": clip_g(negative_prompt, context_length=clip_length,
+                            pad_token=g_pad),
     }
     if t5 is not None:
         ids["ids_t5"] = t5(prompt, max_length=t5_length)

@@ -199,7 +199,10 @@ class SentencePieceUnigram:
         pos = n
         while pos > 0:
             start, idx = back[pos]
-            ids.append(idx)
+            # fuse_unk: sentencepiece (and HF T5) emit ONE <unk> for a run
+            # of unknown characters, not one per character
+            if not (idx == self.unk_id and ids and ids[-1] == self.unk_id):
+                ids.append(idx)
             pos = start
         return ids[::-1]
 

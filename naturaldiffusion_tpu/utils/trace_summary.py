@@ -58,12 +58,22 @@ def summarize(logdir: str):
     dev_pids = {e["pid"] for e in events
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
+    # keep only the leaf-op track ("XLA Ops"): device pids also carry
+    # "Steps" / "XLA Modules" tracks whose events duplicate (or are not)
+    # ops and would double-count into the family totals
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e.get("pid") in dev_pids
+               and "XLA Ops" in str(e.get("args", {}).get("name", ""))}
     fam = collections.Counter()
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
-            # XLA op events live on "XLA Ops"/"XLA Modules" tids; module
-            # events duplicate their children, so keep leaf op names only
+            if op_tids and (e["pid"], e.get("tid")) not in op_tids:
+                continue
+            # fallback (no thread_name metadata): drop module/step events
             if e.get("name", "").startswith(("jit_", "pmap_")):
+                continue
+            if str(e.get("name", "")).isdigit():      # Steps-track markers
                 continue
             fam[_family(e["name"])] += e["dur"]
     return sum(fam.values()), dict(fam)

@@ -46,6 +46,27 @@ def test_mmdit_stays_bf16(monkeypatch):
     assert seen and all(d == (jnp.bfloat16,) * 3 for d in seen), seen
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
+    # the OTHER promotion channel: real text encoders emit f32 context /
+    # pooled.  Those must not drag the joint streams back to f32 either.
+    seen.clear()
+    out = model.apply({"params": _bf16(params)}, x.astype(jnp.bfloat16), t,
+                      ctx, pooled)
+    assert out.dtype == jnp.bfloat16
+    assert seen and all(d == (jnp.bfloat16,) * 3 for d in seen), seen
+
+    # and through the schedule-hoisted mods path (f32 context input)
+    from naturaldiffusion_tpu.models.mmdit import mmdit_schedule_mods
+    mods = mmdit_schedule_mods(model, _bf16(params),
+                               jnp.asarray([500.0]), pooled, ctx)
+    ctx_emb = mods.pop("ctx_emb")          # step-constant (sd3_ni pattern)
+    assert ctx_emb.dtype == jnp.bfloat16
+    seen.clear()
+    step = jax.tree.map(lambda a: a[0], mods)
+    out = model.apply({"params": _bf16(params)}, x.astype(jnp.bfloat16), t,
+                      ctx, pooled, mods=dict(step, ctx_emb=ctx_emb))
+    assert out.dtype == jnp.bfloat16
+    assert seen and all(d == (jnp.bfloat16,) * 3 for d in seen), seen
+
 
 def test_dit_stays_bf16(monkeypatch):
     from naturaldiffusion_tpu.models.dit import DiT, DiTConfig

@@ -208,9 +208,45 @@ def test_sd3_tokenize_ids(tmp_path):
     assert set(ids) == {"ids_l", "ids_g", "neg_ids_l", "neg_ids_g",
                         "ids_t5", "neg_ids_t5"}
     assert ids["ids_l"].shape == (1, 77)
-    np.testing.assert_array_equal(ids["ids_l"], ids["ids_g"])
+    # same tokens; layouts diverge only in padding (L: eos, G: "!" — the
+    # diffusers SD3 tokenizer/tokenizer_2 pair)
+    np.testing.assert_array_equal(ids["ids_l"][0, :4], ids["ids_g"][0, :4])
+    assert ids["ids_l"][0, -1] == clip.eos_id
+    assert ids["ids_g"][0, -1] == clip.encoder["!"]
     assert ids["ids_t5"].shape == (1, 16)
     # empty negative prompt: bos+eos for CLIP, [EOS, pad...] for T5
     assert ids["neg_ids_l"][0, 0] == clip.bos_id
     assert ids["neg_ids_l"][0, 1] == clip.eos_id
     assert ids["neg_ids_t5"][0, 0] == 1 and ids["neg_ids_t5"][0, 1] == 0
+
+
+def test_clip_g_pad_token(tmp_path):
+    """SD3's CLIP-G tokenizer_2 pads with "!" (id 0), not eos; the shared
+    sd3_tokenize_ids assembly must emit the two layouts side by side."""
+    from naturaldiffusion_tpu.text.sd3 import sd3_tokenize_ids
+
+    vpath, mpath, vocab = _clip_fixture(tmp_path)
+    tok = CLIPBPETokenizer.from_files(vpath, mpath)
+    bang = vocab["!"]        # bare "!" — id 0 in the REAL CLIP vocab
+
+    row = tok(["hello"], context_length=6, pad_token="!")[0]
+    assert row[-1] == bang and row[-2] == bang       # "!"-padded
+    assert row[2] == tok.eos_id                      # eos still terminates
+    # default stays eos-padding (CLIP-L layout)
+    assert tok(["hello"], context_length=6)[0][-1] == tok.eos_id
+
+    out = sd3_tokenize_ids("hello", clip_l=tok)
+    assert out["ids_l"][0, -1] == tok.eos_id
+    assert out["ids_g"][0, -1] == bang
+    assert out["neg_ids_g"][0, -1] == bang
+
+
+def test_spm_fuse_unk(tmp_path):
+    """A run of unknown characters yields ONE unk id (sentencepiece/HF T5
+    fuse_unk), not one per character."""
+    tok = SentencePieceUnigram.from_file(_spm_fixture(tmp_path))
+    one = tok.encode("abz")
+    run = tok.encode("abzzz")
+    assert one == run == [4, 2]
+    # separated unknowns stay separate
+    assert tok.encode("abzaz") == [4, 2, 5, 2]
