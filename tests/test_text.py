@@ -98,6 +98,14 @@ def test_clip_bpe_matches_transformers(tmp_path):
         got = ours([text], context_length=77)[0].tolist()
         assert got == want, (text, got[:12], want[:12])
 
+    # the CLIP-G layout: HF with pad_token="!" (diffusers SD3 tokenizer_2)
+    hf_g = transformers.CLIPTokenizer(vpath, mpath, pad_token="!")
+    for text in ["hello low", "", "123 4,5!?"]:
+        want = hf_g(text, padding="max_length", max_length=77,
+                    truncation=True)["input_ids"]
+        got = ours([text], context_length=77, pad_token="!")[0].tolist()
+        assert got == want, (text, got[:12], want[:12])
+
 
 # ---------------------------------------------------------------------------
 # SentencePiece unigram
