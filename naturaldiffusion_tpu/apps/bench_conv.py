@@ -1,0 +1,100 @@
+"""Micro-bench: Pallas implicit-GEMM 3x3 conv vs XLA's conv schedule.
+
+The CIFAR-10 NCSN++ headline forward is ~97% device-occupied with XLA conv
+fusions at ~80% MXU efficiency (PERF.md) — this bench measures whether the
+hand-written kernel (ops/conv3x3.py) beats that schedule at the model's hot
+shapes (the resblock convs of ``CIFAR10_DDPMPP_CONTINUOUS`` at micro-batch
+64, including the skip-concatenated up-path widths).
+
+Run on the TPU host:
+    python -m naturaldiffusion_tpu.apps.bench_conv [--reps 30] [--runs 7]
+Prints one JSON line per shape with ms/call per backend, TFLOP/s, and the
+speedup.  Backends are interleaved per run (the chip drifts — PERF.md
+"Methodology").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv3x3 import conv3x3_pallas, conv3x3_xla
+
+# (B, H, W, C_in, C_out) — every lane-aligned conv family in the CIFAR-10
+# bench forward at micro-batch 64
+SHAPES = [
+    (64, 32, 32, 128, 128),   # res-32 resblock convs
+    (64, 32, 32, 256, 128),   # res-32 up path (skip-concat input)
+    (64, 16, 16, 256, 256),   # res-16 resblock convs
+    (64, 16, 16, 512, 256),   # res-16 up path
+    (64, 8, 8, 256, 256),     # res-8 resblock convs
+]
+
+
+def _chain(fn, w, b, reps):
+    def body(i, xx):
+        o = fn(xx, w, b)
+        # scalar-checksum feedback: forces full compute each iteration
+        # regardless of the output shape, perturbs the iterate negligibly
+        return xx + (jnp.sum(o, dtype=jnp.float32) * 1e-9).astype(xx.dtype)
+    return jax.jit(lambda x: jnp.float32(
+        jax.lax.fori_loop(0, reps, body, x).sum()))
+
+
+def bench_shape(shape, reps=30, runs=7, dtype=jnp.bfloat16):
+    bsz, hh, ww, cin, cout = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (bsz, hh, ww, cin), dtype)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                          dtype) * 0.05
+    bias = jnp.zeros((cout,), dtype)
+
+    def pallas(variant):
+        return lambda a, ww, bb: conv3x3_pallas(a, ww, bb, variant=variant)
+
+    fns = {"xla": _chain(conv3x3_xla, w, bias, reps),
+           "taps9": _chain(pallas("taps9"), w, bias, reps),
+           "kstack": _chain(pallas("kstack"), w, bias, reps)}
+    for f in fns.values():
+        _ = float(f(x))                      # compile + warm
+    times = {k: [] for k in fns}
+    for _ in range(runs):                    # interleave: chip drift
+        for k, f in fns.items():
+            t0 = time.time()
+            _ = float(f(x))
+            times[k].append(time.time() - t0)
+    med = {k: sorted(v)[len(v) // 2] / reps for k, v in times.items()}
+    flops = 2 * bsz * hh * ww * 9 * cin * cout
+    out = {"shape": list(shape)}
+    for k, t in med.items():
+        out[f"{k}_ms"] = round(t * 1e3, 3)
+        out[f"{k}_tflops"] = round(flops / t / 1e12, 1)
+    best = min(("taps9", "kstack"), key=lambda k: med[k])
+    out["pallas_ms"] = out[f"{best}_ms"]
+    out["best_variant"] = best
+    out["speedup"] = round(med["xla"] / med[best], 3)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--runs", type=int, default=7)
+    ap.add_argument("--shapes", type=int, default=None,
+                    help="bench only the first N shapes")
+    ap.add_argument("--toy", action="store_true",
+                    help="tiny shape, 2 reps — CPU smoke test of the app")
+    args = ap.parse_args(argv)
+    shapes = [(2, 8, 8, 128, 128)] if args.toy else SHAPES[: args.shapes]
+    reps, runs = (2, 1) if args.toy else (args.reps, args.runs)
+    for shape in shapes:
+        print(json.dumps(bench_shape(shape, reps=reps, runs=runs)),
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -74,9 +74,44 @@ class NIN(nn.Module):
         return jnp.einsum("...c,cd->...d", x, w) + b
 
 
+class PConv3x3(nn.Module):
+    """``nn.Conv`` twin for the 3x3/stride-1/SAME resblock convs.
+
+    Same param tree (``kernel`` [3,3,in,out], ``bias`` [out]) so checkpoint
+    converters are unchanged.  Dispatches to the Pallas implicit-GEMM kernel
+    (:mod:`naturaldiffusion_tpu.ops.conv3x3`) when ``NATDIFF_PALLAS_CONV=1``
+    and both channel counts are lane-aligned (multiples of 128 — every
+    NCSN++/DDPM resblock conv); XLA conv otherwise, so the 3->nf stem and
+    nf->3 head of the UNet fall through transparently.
+    """
+    features: int
+    use_bias: bool = True
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import conv3x3 as pconv
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init or default_init(),
+                            (3, 3, cin, self.features))
+        bias = (self.param("bias", jax.nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        # nn.Conv's dtype=None promotion: inputs meet at result_type
+        dt = jnp.result_type(x, kernel, *(() if bias is None else (bias,)))
+        x, kernel = x.astype(dt), kernel.astype(dt)
+        bias = None if bias is None else bias.astype(dt)
+        if (pconv.pallas_conv_enabled()
+                and cin % 128 == 0 and self.features % 128 == 0):
+            return pconv.conv3x3_pallas(x, kernel, bias)
+        return pconv.conv3x3_xla(x, kernel, bias)
+
+
 def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
             init_scale: float = 1.0, padding="SAME", name=None,
             dilation: int = 1):
+    if stride == 1 and padding == "SAME" and dilation == 1:
+        return PConv3x3(out_ch, use_bias=bias,
+                        kernel_init=default_init(init_scale), name=name)
     return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
                    use_bias=bias, kernel_init=default_init(init_scale),
                    kernel_dilation=(dilation, dilation),

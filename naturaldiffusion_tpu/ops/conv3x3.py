@@ -1,0 +1,187 @@
+"""Pallas implicit-GEMM 3x3 convolution (stride 1, SAME, NHWC).
+
+Motivation (PERF.md "r3: GN statistics to zero cost"): after the GN
+statistics were folded into conv epilogues, the CIFAR-10 NCSN++ forward is
+~97% device-occupied with XLA convolution fusions running at ~80% MXU
+efficiency — the remaining headline gap is XLA's conv schedule itself.  This
+kernel is the "custom Pallas conv" lever named in COVERAGE.md: each 3x3
+SAME conv is nine accumulated ``[nb*H*W, C_in] @ [C_in, C_out]`` MXU matmuls
+over a halo-padded VMEM-resident input block, so the im2col never
+materializes in HBM and the f32 accumulator never leaves VMEM.
+
+Scope: stride 1, SAME padding, dilation 1, ``C_in``/``C_out`` multiples of
+128 (every NCSN++/DDPM resblock conv; the 3->nf stem and nf->3 head stay on
+XLA).  The reference's equivalents are cuDNN convs behind torch
+(``deps/score_sde_pytorch/models/layerspp.py``).
+
+Autodiff: a ``jax.custom_vjp`` whose backward runs XLA convs (input-rotated
+correlation for dx, patch correlation for dw) — training paths stay exact
+while only inference pays the kernel's constraints.
+
+The in-model switch is ``NATDIFF_PALLAS_CONV=1`` (read per call, like the
+GN kernel's A/B flags); default off until the on-chip A/B proves a win —
+the Pallas GN lesson (layout copies around custom calls, PERF.md "What did
+NOT work") applies here too, which is why the dispatcher only engages when
+it can cover the model's whole hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_conv_enabled() -> bool:
+    """Read per call (trace time) so one process can A/B both paths."""
+    return os.environ.get("NATDIFF_PALLAS_CONV", "0") == "1"
+
+# per-grid-step VMEM budget for (double-buffered input + output) + f32
+# accumulator + weights; v5e has ~16MB of VMEM per core
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
+    nb = x_ref.shape[0]
+    m = nb * hh * ww
+    acc = jnp.zeros((m, cout), jnp.float32)
+    if variant == "taps9":
+        # nine shallow dots, K = C_in: no data duplication, each tap is a
+        # sublane-shifted view of the resident block
+        for dy in range(3):
+            for dx in range(3):
+                xs = x_ref[:, dy:dy + hh, dx:dx + ww, :].reshape(m, cin)
+                acc = acc + jnp.dot(xs, w_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+    elif variant == "kstack":
+        # three deep dots, K = 3*C_in: the dx taps concatenate on the lane
+        # axis (VPU copies) so each dot amortizes its accumulator traffic
+        # over a 3x deeper contraction
+        for dy in range(3):
+            row = x_ref[:, dy:dy + hh, :, :]
+            xs = jnp.concatenate(
+                [row[:, :, dx:dx + ww, :] for dx in range(3)],
+                axis=-1).reshape(m, 3 * cin)
+            wk = w_ref[dy].reshape(3 * cin, cout)
+            acc = acc + jnp.dot(xs, wk, preferred_element_type=jnp.float32)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    if b_ref is not None:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype).reshape(nb, hh, ww, cout)
+
+
+def _pick_block_batch(b, hh, ww, cin, cout, itemsize, variant="taps9"):
+    """Largest divisor of ``b`` whose working set fits the VMEM budget."""
+    per_img = (
+        2 * (hh + 2) * (ww + 2) * cin * itemsize   # in block, double-buffered
+        + 2 * hh * ww * cout * itemsize            # out block, double-buffered
+        + hh * ww * cout * 4                       # f32 accumulator
+    )
+    if variant == "kstack":
+        per_img += hh * ww * 3 * cin * itemsize    # dx-concat staging buffer
+    cap = max(1, _VMEM_BUDGET // per_img)
+    nb = 1
+    for d in range(1, b + 1):
+        if b % d == 0 and d <= cap:
+            nb = d
+    return nb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_pallas(x, w, b=None, interpret=None, variant="taps9"):
+    """3x3/stride-1/SAME NHWC conv: ``x [B,H,W,Cin] * w [3,3,Cin,Cout]``.
+
+    ``b`` is an optional ``[Cout]`` bias.  ``interpret=None`` auto-selects
+    interpreter mode off-TPU so CPU tests exercise the same kernel.
+    ``variant`` picks the in-kernel GEMM formulation (``taps9``/``kstack``,
+    A/B'd on chip — see ``apps/bench_conv.py``).
+    """
+    return _forward(x, w, b, interpret, variant)
+
+
+def _forward(x, w, b, interpret, variant):
+    bsz, hh, ww, cin = x.shape
+    cout = w.shape[-1]
+    if w.shape[:3] != (3, 3, cin):
+        raise ValueError(f"weight {w.shape} does not match input {x.shape}")
+    if cin % 128 or cout % 128:
+        raise ValueError(f"channels must be multiples of 128, got "
+                         f"{cin}->{cout} (use XLA conv for this shape)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize, variant)
+    grid = (bsz // nb,)
+
+    in_specs = [
+        pl.BlockSpec((nb, hh + 2, ww + 2, cin), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, w]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b.reshape(1, cout))
+        kern = functools.partial(_conv_kernel, hh=hh, ww=ww, cin=cin,
+                                 cout=cout, variant=variant)
+    else:
+        def kern(x_ref, w_ref, o_ref):
+            _conv_kernel(x_ref, w_ref, None, o_ref, hh=hh, ww=ww, cin=cin,
+                         cout=cout, variant=variant)
+
+    flops = 2 * bsz * hh * ww * 9 * cin * cout
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nb, hh, ww, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hh, ww, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xp.size * xp.dtype.itemsize
+            + w.size * w.dtype.itemsize
+            + bsz * hh * ww * cout * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def conv3x3_xla(x, w, b=None):
+    """The XLA twin (used as the VJP oracle and the A/B control)."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y if b is None else y + b
+
+
+def _fwd(x, w, b, interpret, variant):
+    return _forward(x, w, b, interpret, variant), (x, w, b is not None)
+
+
+def _bwd(interpret, variant, res, g):
+    x, w, has_b = res
+    # dx: correlate the cotangent with the spatially-flipped, in/out-swapped
+    # kernel; dw: correlate input patches with the cotangent.  Both as XLA
+    # convs — the backward runs only in training, which keeps XLA's layouts.
+    w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        g, w_flip.astype(g.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(x.dtype)
+    dw = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0), g.transpose(1, 2, 0, 3), (1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).transpose(1, 2, 0, 3).astype(w.dtype)
+    db = g.sum(axis=(0, 1, 2)) if has_b else None
+    return dx, dw, db
+
+
+conv3x3_pallas.defvjp(_fwd, _bwd)

@@ -32,6 +32,17 @@ def test_bench_sd3_toy(capsys, extra):
     assert np.isfinite(rec["sec_per_image"]) and rec["sec_per_image"] > 0
 
 
+def test_bench_conv_toy(capsys):
+    from naturaldiffusion_tpu.apps.bench_conv import main
+
+    rc = main(["--toy"])
+    assert rc == 0
+    rec = _last_json(capsys)
+    assert rec["shape"] == [2, 8, 8, 128, 128]
+    assert rec["xla_ms"] > 0 and rec["pallas_ms"] > 0
+    assert np.isfinite(rec["speedup"])
+
+
 @pytest.mark.parametrize("extra", [[], ["--no-mods"]],
                          ids=["mods", "no-mods"])
 def test_bench_dit_toy(capsys, extra):

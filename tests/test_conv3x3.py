@@ -1,0 +1,121 @@
+"""Pallas implicit-GEMM 3x3 conv (ops/conv3x3.py) vs the XLA oracle.
+
+Covers: the raw kernel across shapes/dtypes (incl. a batch the block picker
+can't split), the custom-VJP backward, and the in-model dispatch — an
+NCSN++ forward with NATDIFF_PALLAS_CONV=1 must equal the flag-off forward
+bit-for-bit modulo accumulation order (the stem/head convs fall through to
+XLA in both).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naturaldiffusion_tpu.ops.conv3x3 import (conv3x3_pallas, conv3x3_xla,
+                                              _pick_block_batch)
+
+
+@pytest.mark.parametrize("variant", ["taps9", "kstack"])
+@pytest.mark.parametrize("shape", [
+    (2, 4, 4, 128, 128),
+    (1, 5, 3, 128, 256),      # odd spatial, channel-raising
+    (3, 8, 8, 256, 128),      # batch=3: block picker must fall back to 1
+])
+def test_kernel_matches_xla_f32(shape, variant):
+    b, h, w, ci, co = shape
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (b, h, w, ci), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co),
+                           jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (co,), jnp.float32)
+    got = conv3x3_pallas(x, wt, bias, variant=variant)
+    want = conv3x3_xla(x, wt, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+
+
+def test_kernel_bf16_f32_accumulation():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 6, 6, 128), jnp.bfloat16)
+    wt = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128),
+                            jnp.bfloat16) * 0.05)
+    got = conv3x3_pallas(x, wt, None)
+    assert got.dtype == jnp.bfloat16
+    want = conv3x3_xla(x.astype(jnp.float32), wt.astype(jnp.float32), None)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0, atol=0.05)
+
+
+def test_no_bias_path():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (1, 4, 4, 128), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128),
+                           jnp.float32) * 0.05
+    np.testing.assert_allclose(np.asarray(conv3x3_pallas(x, wt, None)),
+                               np.asarray(conv3x3_xla(x, wt, None)),
+                               rtol=0, atol=1e-4)
+
+
+def test_rejects_unaligned_channels():
+    x = jnp.zeros((1, 4, 4, 64))
+    wt = jnp.zeros((3, 3, 64, 128))
+    with pytest.raises(ValueError, match="multiples of 128"):
+        conv3x3_pallas(x, wt, None)
+
+
+def test_custom_vjp_matches_xla_grads():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 4, 4, 128), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128),
+                           jnp.float32) * 0.05
+    bias = jnp.zeros((128,))
+
+    def loss(fn):
+        return lambda x, w, b: (fn(x, w, b) * jnp.cos(
+            jnp.arange(x.size, dtype=jnp.float32).reshape(x.shape[:-1] +
+                                                          (128,)))).sum()
+
+    g1 = jax.grad(loss(conv3x3_pallas), (0, 1, 2))(x, wt, bias)
+    g0 = jax.grad(loss(conv3x3_xla), (0, 1, 2))(x, wt, bias)
+    for a, b_ in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0, atol=1e-4)
+
+
+def test_block_picker_divides_batch():
+    for b in (1, 2, 3, 5, 8, 64):
+        nb = _pick_block_batch(b, 32, 32, 128, 128, 2)
+        assert b % nb == 0 and nb >= 1
+
+
+def test_ncsnpp_forward_flag_on_equals_off(monkeypatch):
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    cfg = NCSNppConfig(nf=128, ch_mult=(1,), num_res_blocks=1,
+                       attn_resolutions=(), image_size=8)
+    model = NCSNpp(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3), jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x[:1], t[:1])["params"]
+
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    y_off = model.apply({"params": params}, x, t)
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "1")
+    y_on = model.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=0, atol=2e-5)
+
+
+def test_pconv_param_tree_matches_nn_conv():
+    """The swap-in module must keep nn.Conv's exact param names/shapes so
+    every torch->flax converter path map stays valid."""
+    import flax.linen as nn
+    from naturaldiffusion_tpu.models.layers import conv3x3
+    x = jnp.zeros((1, 4, 4, 128))
+    ours = conv3x3(256, name="Conv_0")
+    ref = nn.Conv(256, (3, 3), padding="SAME", name="Conv_0")
+    p1 = ours.init(jax.random.PRNGKey(0), x)["params"]
+    p2 = ref.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p1) == jax.tree.structure(p2)
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
