@@ -61,6 +61,7 @@ class TrainConfig:
     num_res_blocks: int = 4
     seed: int = 42
     donate: bool = False
+    fsdp: bool = False
 
 
 def train(cfg: TrainConfig) -> None:
@@ -92,7 +93,18 @@ def train(cfg: TrainConfig) -> None:
     # place instead of doubling HBM peak.  Opt-in: standard TPU runtimes
     # support it, but the axon tunnel backend rejects donated executions
     # (INVALID_ARGUMENT at result fetch — found by the on-hardware smoke)
-    step = jax.jit(step_fn, donate_argnums=(0,) if cfg.donate else ())
+    donate = (0,) if cfg.donate else ()
+    if cfg.fsdp:
+        # ZeRO-3: shard the whole TrainState (params/moments/EMA) over the
+        # data axis; XLA all-gathers params per step and reduce-scatters
+        # the update.  Per-device state bytes drop ~mesh-size-fold.
+        from ..parallel import fsdp_sharding
+        shardings = fsdp_sharding(state, mesh)
+        state = jax.device_put(state, shardings)
+        step = jax.jit(step_fn, out_shardings=(shardings, None),
+                       donate_argnums=donate)
+    else:
+        step = jax.jit(step_fn, donate_argnums=donate)
     it = get_dataset(cfg.dataset, cfg.batch, data_dir=cfg.data_dir)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -196,6 +208,9 @@ def main(argv=None) -> int:
     p.add_argument("--donate", action="store_true",
                    help="donate the TrainState buffers (halves HBM peak; "
                         "not supported by the axon tunnel backend)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params/optimizer/EMA over the data "
+                        "axis (per-device state bytes drop ~n_devices-fold)")
     p.add_argument("--nf", type=int, default=128)
     p.add_argument("--ch-mult", type=lambda s: tuple(
         int(x) for x in s.split(",")), default=(1, 2, 2, 2))
@@ -213,7 +228,7 @@ def main(argv=None) -> int:
         nf=args.nf, ch_mult=args.ch_mult,
         num_res_blocks=args.num_res_blocks,
         sample_at_snapshot=not args.no_snapshot_samples, bpd=args.bpd,
-        donate=args.donate)
+        donate=args.donate, fsdp=args.fsdp)
     (train if args.mode == "train" else evaluate)(cfg)
     return 0
 

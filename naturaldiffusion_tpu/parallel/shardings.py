@@ -9,6 +9,8 @@ Strategy table (SURVEY.md §2.5):
   the all-reduces from the NamedSharding annotations.
 * **SP** — token axis over ``model`` between blocks (constraint applied by
   the caller; XLA all-gathers into the TP matmuls).
+* **FSDP (ZeRO-3)** — the whole TrainState sharded over ``data``
+  (``fsdp_sharding``): per-device optimizer-state bytes drop ~mesh-size-fold.
 * **PP / EP** — not applicable to these backbones (no MoE; depth fits on a
   chip) — explicitly out of scope, as in the reference (which has neither).
 """
@@ -17,6 +19,8 @@ from __future__ import annotations
 
 import re
 import warnings
+
+import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -100,6 +104,38 @@ def mmdit_tp_sharding(params, mesh: Mesh):
 
 def replicate_tree(params, mesh: Mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+
+def fsdp_sharding(tree, mesh: Mesh, *, axis: str = "data",
+                  min_size: int = 2 ** 14):
+    """ZeRO-3-style fully-sharded sharding tree (params + optimizer moments
+    + EMA alike): every leaf is sharded along its largest dimension that
+    divides the ``axis`` size; scalars, small leaves (< ``min_size``
+    elements — the all-gather latency isn't worth the bytes), and leaves
+    with no divisible dim stay replicated.
+
+    This is a capability the reference cannot express (its only parallelism
+    is ``torch.nn.DataParallel``): per-device training-state bytes drop by
+    ~the mesh size, and XLA inserts the all-gather (params, forward/backward)
+    and reduce-scatter (grads/updates) collectives from the annotations
+    alone.  Apply to a ``TrainState`` and pass as jit in/out shardings —
+    see ``apps/train.py --fsdp``.
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(leaf):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return P()
+        cands = [d for d in range(len(shape)) if shape[d] % n == 0]
+        if not cands:
+            return P()
+        d = max(cands, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[d] = axis
+        return P(*spec)
+
+    return jax.tree.map(lambda l: NamedSharding(mesh, spec_for(l)), tree)
 
 
 def constrain_tokens(tok, mesh: Mesh, *, data_axis="data", seq_axis="model"):
