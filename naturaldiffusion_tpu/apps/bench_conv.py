@@ -57,7 +57,8 @@ def bench_shape(shape, reps=30, runs=7, dtype=jnp.bfloat16):
 
     fns = {"xla": _chain(conv3x3_xla, w, bias, reps),
            "taps9": _chain(pallas("taps9"), w, bias, reps),
-           "kstack": _chain(pallas("kstack"), w, bias, reps)}
+           "kstack": _chain(pallas("kstack"), w, bias, reps),
+           "valid9": _chain(pallas("valid9"), w, bias, reps)}
     errors = {}
     for k in list(fns):
         try:
@@ -79,7 +80,7 @@ def bench_shape(shape, reps=30, runs=7, dtype=jnp.bfloat16):
         out[f"{k}_tflops"] = round(flops / t / 1e12, 1)
     for k, msg in errors.items():
         out[f"{k}_error"] = msg
-    cands = [k for k in ("taps9", "kstack") if k in med]
+    cands = [k for k in ("taps9", "kstack", "valid9") if k in med]
     if cands and "xla" in med:
         best = min(cands, key=lambda k: med[k])
         out["pallas_ms"] = out[f"{best}_ms"]

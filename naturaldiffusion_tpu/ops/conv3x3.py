@@ -68,6 +68,29 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
                 axis=-1).reshape(m, 3 * cin)
             wk = w_ref[dy].reshape(3 * cin, cout)
             acc = acc + jnp.dot(xs, wk, preferred_element_type=jnp.float32)
+    elif variant == "valid9":
+        # pad-free: x_ref is the UNPADDED block; each tap contracts only its
+        # valid region and accumulates into a shifted slice of the f32
+        # accumulator.  Saves the jnp.pad pre-pass — a full extra HBM
+        # read+write of the activation per conv in the padded variants.
+        acc = jnp.zeros((nb, hh, ww, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                iy0, iy1 = max(0, dy - 1), hh + min(0, dy - 1)
+                ix0, ix1 = max(0, dx - 1), ww + min(0, dx - 1)
+                oy0, oy1 = max(0, 1 - dy), hh + min(0, 1 - dy)
+                ox0, ox1 = max(0, 1 - dx), ww + min(0, 1 - dx)
+                xs = x_ref[:, iy0:iy1, ix0:ix1, :]
+                mh, mw = iy1 - iy0, ix1 - ix0
+                part = jnp.dot(xs.reshape(nb * mh * mw, cin), w_ref[dy, dx],
+                               preferred_element_type=jnp.float32)
+                acc = acc + jnp.pad(
+                    part.reshape(nb, mh, mw, cout),
+                    ((0, 0), (oy0, hh - oy1), (ox0, ww - ox1), (0, 0)))
+        if b_ref is not None:
+            acc = acc + b_ref[0].astype(jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
+        return
     else:
         raise ValueError(f"unknown variant {variant!r}")
     if b_ref is not None:
@@ -115,12 +138,14 @@ def _forward(x, w, b, interpret, variant):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pad = variant != "valid9"
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))) if pad else x
     nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize, variant)
     grid = (bsz // nb,)
+    halo = 2 if pad else 0
 
     in_specs = [
-        pl.BlockSpec((nb, hh + 2, ww + 2, cin), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((nb, hh + halo, ww + halo, cin), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),

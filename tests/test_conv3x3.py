@@ -16,7 +16,7 @@ from naturaldiffusion_tpu.ops.conv3x3 import (conv3x3_pallas, conv3x3_xla,
                                               _pick_block_batch)
 
 
-@pytest.mark.parametrize("variant", ["taps9", "kstack"])
+@pytest.mark.parametrize("variant", ["taps9", "kstack", "valid9"])
 @pytest.mark.parametrize("shape", [
     (2, 4, 4, 128, 128),
     (1, 5, 3, 128, 256),      # odd spatial, channel-raising
