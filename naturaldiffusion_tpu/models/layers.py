@@ -102,7 +102,8 @@ class PConv3x3(nn.Module):
         bias = None if bias is None else bias.astype(dt)
         if (pconv.pallas_conv_enabled()
                 and cin % 128 == 0 and self.features % 128 == 0):
-            return pconv.conv3x3_pallas(x, kernel, bias)
+            return pconv.conv3x3_pallas(x, kernel, bias,
+                                        variant=pconv.default_variant())
         return pconv.conv3x3_xla(x, kernel, bias)
 
 

@@ -40,6 +40,13 @@ def pallas_conv_enabled() -> bool:
     """Read per call (trace time) so one process can A/B both paths."""
     return os.environ.get("NATDIFF_PALLAS_CONV", "0") == "1"
 
+
+def default_variant() -> str:
+    """In-model kernel formulation (``NATDIFF_CONV_VARIANT``); default is
+    the pad-free ``valid9`` — strictly less HBM traffic than the padded
+    forms (no jnp.pad pre-pass)."""
+    return os.environ.get("NATDIFF_CONV_VARIANT", "valid9")
+
 # per-grid-step VMEM budget for (double-buffered input + output) + f32
 # accumulator + weights; v5e has ~16MB of VMEM per core
 _VMEM_BUDGET = 10 * 1024 * 1024
