@@ -47,8 +47,15 @@ def restore(workdir_or_path: str, template):
         logging.warning("No checkpoint found at %s. Returned the same state "
                         "as input", path)
         return template
-    with ocp.PyTreeCheckpointer() as ck:
-        return ck.restore(path, item=template)
+    try:
+        with ocp.PyTreeCheckpointer() as ck:
+            return ck.restore(path, item=template)
+    except FileNotFoundError:
+        # an existing workdir with no checkpoint in it (e.g. a fresh run
+        # directory the caller already created) — same no-op contract
+        logging.warning("No checkpoint structure at %s. Returned the same "
+                        "state as input", path)
+        return template
 
 
 def latest_snapshot_step(workdir: str) -> int | None:
