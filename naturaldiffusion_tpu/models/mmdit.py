@@ -86,6 +86,15 @@ class TimestepTextEmbed(nn.Module):
         return temb + p
 
 
+def _fused_ln_enabled() -> bool:
+    """One LN-statistics kernel per stream *pair* instead of a big+tiny pair
+    per block (read at trace time; ``NATDIFF_MMDIT_FUSED_LN=0`` is the chip
+    A/B control — the concat costs a copy, the fusion kills the tiny
+    fixed-overhead context kernels)."""
+    import os
+    return os.environ.get("NATDIFF_MMDIT_FUSED_LN", "1") != "0"
+
+
 class JointBlock(nn.Module):
     num_heads: int
     context_pre_only: bool = False
@@ -118,13 +127,27 @@ class JointBlock(nn.Module):
         def moded(v, sh, sc):
             return v * (1 + sc[:, None, :]) + sh[:, None, :]
 
-        x_in = moded(ln(x), sh1, sc1)
+        def ln_pair(a, bctx):
+            # LayerNorm is per-token, so normalizing the concatenated
+            # streams is mathematically identical to two separate calls —
+            # but ONE stats kernel over [B, T+Tc, D] instead of a big one
+            # plus a tiny fixed-overhead one per block (the r3 SD3-1024
+            # trace put the context-stream LN statistics at 14% of device
+            # time).  Opt-out control for the chip A/B.
+            if _fused_ln_enabled():
+                tn = a.shape[1]
+                lb = ln(jnp.concatenate([a, bctx], axis=1))
+                return lb[:, :tn], lb[:, tn:]
+            return ln(a), ln(bctx)
+
+        lx, lc = ln_pair(x, ctx)
+        x_in = moded(lx, sh1, sc1)
         if self.context_pre_only:
             # diffusers AdaLayerNormContinuous chunks (scale, shift) — the
             # REVERSE of AdaLayerNormZero's (shift, scale, ...) order
-            c_in = moded(ln(ctx), cmods[1], cmods[0])
+            c_in = moded(lc, cmods[1], cmods[0])
         else:
-            c_in = moded(ln(ctx), cmods[0], cmods[1])
+            c_in = moded(lc, cmods[0], cmods[1])
 
         def heads(v):
             b, t, _ = v.shape
@@ -169,16 +192,22 @@ class JointBlock(nn.Module):
         o_x, o_c = o[:, :t_x], o[:, t_x:]
 
         x = x + g1[:, None, :] * nn.Dense(d, name="attn_to_out_0")(o_x)
-        xm = moded(ln(x), sh2, sc2)
+        if self.context_pre_only:
+            xm = moded(ln(x), sh2, sc2)
+            ff = nn.Dense(4 * d, name="ff_net_0_proj")(xm)
+            ff = nn.Dense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
+            return x + g2[:, None, :] * ff, None
+
+        # both residual adds first, then ONE LN stats pass over the pair
+        # (pure reordering — the x FF never reads ctx and vice versa)
+        ctx = ctx + cmods[2][:, None, :] * nn.Dense(
+            d, name="attn_to_add_out")(o_c)
+        lx2, lc2 = ln_pair(x, ctx)
+        xm = moded(lx2, sh2, sc2)
         ff = nn.Dense(4 * d, name="ff_net_0_proj")(xm)
         ff = nn.Dense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
         x = x + g2[:, None, :] * ff
-
-        if self.context_pre_only:
-            return x, None
-        ctx = ctx + cmods[2][:, None, :] * nn.Dense(
-            d, name="attn_to_add_out")(o_c)
-        cm = moded(ln(ctx), cmods[3], cmods[4])
+        cm = moded(lc2, cmods[3], cmods[4])
         cff = nn.Dense(4 * d, name="ff_context_net_0_proj")(cm)
         cff = nn.Dense(d, name="ff_context_net_2")(
             nn.gelu(cff, approximate=True))

@@ -125,3 +125,31 @@ def test_mmdit_parity_uneven_crop(pair):
                                  jnp.asarray(t), jnp.asarray(ctx),
                                  jnp.asarray(pooled)))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_fused_ln_pair_equals_separate(monkeypatch):
+    """NATDIFF_MMDIT_FUSED_LN concatenates the streams for ONE LayerNorm
+    statistics kernel — per-token math, so outputs must match the separate
+    calls to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from naturaldiffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
+
+    cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4,
+                      hidden_size=64, depth=2, num_heads=4,
+                      caption_projection_dim=64, joint_attention_dim=32,
+                      pooled_projection_dim=48, pos_embed_max_size=8)
+    m = MMDiT(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.array([500.0, 3.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 48))
+    params = m.init(jax.random.PRNGKey(3), x, t, ctx, pooled)["params"]
+
+    monkeypatch.setenv("NATDIFF_MMDIT_FUSED_LN", "0")
+    want = m.apply({"params": params}, x, t, ctx, pooled)
+    monkeypatch.setenv("NATDIFF_MMDIT_FUSED_LN", "1")
+    got = m.apply({"params": params}, x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
