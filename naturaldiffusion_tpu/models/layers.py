@@ -89,7 +89,8 @@ class PConv3x3(nn.Module):
     kernel_init: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, pre=None, skip=None, skip_rescale=False,
+                 emit_stats=False):
         from ..ops import conv3x3 as pconv
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init or default_init(),
@@ -100,6 +101,11 @@ class PConv3x3(nn.Module):
         dt = jnp.result_type(x, kernel, *(() if bias is None else (bias,)))
         x, kernel = x.astype(dt), kernel.astype(dt)
         bias = None if bias is None else bias.astype(dt)
+        if pre is not None or skip is not None or emit_stats:
+            # fused resblock form (caller gates on fused_resblock_enabled)
+            return pconv.conv3x3_gn_pallas(
+                x, kernel, bias, pre=pre, skip=skip,
+                skip_rescale=skip_rescale, emit_stats=emit_stats)
         if (pconv.pallas_conv_enabled()
                 and cin % 128 == 0 and self.features % 128 == 0):
             return pconv.conv3x3_pallas(x, kernel, bias,
@@ -144,10 +150,21 @@ class GroupNorm(nn.Module):
     act: str | None = None
 
     @nn.compact
-    def __call__(self, x, extra_bias=None):
+    def __call__(self, x, extra_bias=None, *, stats=None, coeffs_only=False):
         c = x.shape[-1]
         scale = self.param("scale", jax.nn.initializers.ones, (c,))
         bias = self.param("bias", jax.nn.initializers.zeros, (c,))
+        if coeffs_only:
+            # fused-resblock form: return the normalize-affine collapsed to
+            # per-(sample,channel) scalars (f32 [B,C] pair) for the conv
+            # kernel's prologue; ``stats`` are the producer-emitted channel
+            # sums (computed here with one XLA reduce when absent).  The
+            # SiLU (self.act) is applied by the kernel prologue.
+            from ..ops.group_norm import gn_channel_sums, gn_affine_coeffs
+            s1, s2 = stats if stats is not None else gn_channel_sums(x)
+            return gn_affine_coeffs(s1, s2, x.shape[1] * x.shape[2], scale,
+                                    bias, self.num_groups, eps=self.epsilon,
+                                    extra_bias=extra_bias)
         out_dtype = self.dtype or jnp.result_type(x, scale, bias)
         from ..ops.group_norm import fused_group_norm
         y = fused_group_norm(x.astype(out_dtype), scale, bias,
@@ -329,6 +346,35 @@ class ResnetBlockBigGANpp(nn.Module):
         act = nn.silu
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
+
+        from ..ops.conv3x3 import fused_resblock_enabled
+        if (fused_resblock_enabled() and not self.up and not self.down
+                and deterministic and in_ch % 128 == 0 and out_ch % 128 == 0):
+            # NATDIFF_PALLAS_CONV=2: the whole block as two fused kernels.
+            # GN_0+SiLU ride Conv_0's prologue (normalized x never touches
+            # HBM), Conv_0 emits GN_1's channel sums from its resident f32
+            # accumulator (the temb bias enters algebraically), GN_1+SiLU
+            # ride Conv_1's prologue, and the skip-add (+1/sqrt2) is
+            # Conv_1's epilogue.  Dropout is inference-identity here
+            # (deterministic gate above).  Param set/names identical to the
+            # unfused path — same checkpoint mapping.
+            w0, b0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                                act="silu")(x, coeffs_only=True)
+            h, s1, s2 = conv3x3(out_ch, name="Conv_0")(
+                x, pre=(w0, b0), emit_stats=True)
+            if tb is None and temb is not None:
+                tb = nn.Dense(out_ch, kernel_init=default_init(),
+                              bias_init=jax.nn.initializers.zeros,
+                              name="Dense_0")(act(temb))
+            w1, b1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                                act="silu")(h, extra_bias=tb, stats=(s1, s2),
+                                            coeffs_only=True)
+            xs = x if in_ch == out_ch else conv1x1(out_ch, name="Conv_2")(x)
+            return conv3x3(out_ch, init_scale=self.init_scale,
+                           name="Conv_1")(h, pre=(w1, b1),
+                                          skip=xs.astype(h.dtype),
+                                          skip_rescale=self.skip_rescale)
+
         h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
                        act="silu")(x)
 

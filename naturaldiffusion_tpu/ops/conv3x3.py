@@ -37,8 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_conv_enabled() -> bool:
-    """Read per call (trace time) so one process can A/B both paths."""
-    return os.environ.get("NATDIFF_PALLAS_CONV", "0") == "1"
+    """Read per call (trace time) so one process can A/B both paths.
+    ``1`` = plain kernel swap; ``2`` = also the fused resblock path
+    (conv + GN prologue/stats/skip in one kernel, see
+    :func:`conv3x3_gn_pallas`)."""
+    return os.environ.get("NATDIFF_PALLAS_CONV", "0") in ("1", "2")
+
+
+def fused_resblock_enabled() -> bool:
+    return os.environ.get("NATDIFF_PALLAS_CONV", "0") == "2"
 
 
 def default_variant() -> str:
@@ -185,6 +192,147 @@ def _forward(x, w, b, interpret, variant):
             transcendentals=0),
         interpret=interpret,
     )(*args)
+
+
+def _conv_gn_kernel(refs, *, hh, ww, cin, cout, has_bias, has_pre, has_skip,
+                    skip_rescale, emit_stats, pre_act):
+    """Fused resblock conv (valid9 math): optional GN-normalize(+SiLU)
+    prologue on the VMEM-resident input, optional skip-add(+1/sqrt2)
+    epilogue, optional per-(sample,channel) sum/sumsq outputs of the final
+    f32 accumulator — the statistics the NEXT GroupNorm needs, emitted for
+    free while the data is resident."""
+    it = iter(refs)
+    x_ref = next(it)
+    w_ref = next(it)
+    b_ref = next(it) if has_bias else None
+    pw_ref = next(it) if has_pre else None
+    pb_ref = next(it) if has_pre else None
+    skip_ref = next(it) if has_skip else None
+    o_ref = next(it)
+    s1_ref = next(it) if emit_stats else None
+    s2_ref = next(it) if emit_stats else None
+
+    nb = x_ref.shape[0]
+    xin = x_ref[:]
+    if has_pre:
+        xf = xin.astype(jnp.float32)
+        xf = xf * pw_ref[:].reshape(nb, 1, 1, cin) \
+            + pb_ref[:].reshape(nb, 1, 1, cin)
+        if pre_act == "silu":
+            xf = xf * jax.nn.sigmoid(xf)
+        xin = xf.astype(x_ref.dtype)
+
+    acc = jnp.zeros((nb, hh, ww, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            iy0, iy1 = max(0, dy - 1), hh + min(0, dy - 1)
+            ix0, ix1 = max(0, dx - 1), ww + min(0, dx - 1)
+            oy0, oy1 = max(0, 1 - dy), hh + min(0, 1 - dy)
+            ox0, ox1 = max(0, 1 - dx), ww + min(0, 1 - dx)
+            xs = xin[:, iy0:iy1, ix0:ix1, :]
+            mh, mw = iy1 - iy0, ix1 - ix0
+            part = jnp.dot(xs.reshape(nb * mh * mw, cin), w_ref[dy, dx],
+                           preferred_element_type=jnp.float32)
+            acc = acc + jnp.pad(
+                part.reshape(nb, mh, mw, cout),
+                ((0, 0), (oy0, hh - oy1), (ox0, ww - ox1), (0, 0)))
+    if has_bias:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    if has_skip:
+        acc = acc + skip_ref[:].astype(jnp.float32)
+        if skip_rescale:
+            acc = acc * jnp.float32(0.7071067811865476)
+    o_ref[:] = acc.astype(o_ref.dtype)
+    if emit_stats:
+        flat = acc.reshape(nb, hh * ww, cout)
+        s1_ref[:] = jnp.sum(flat, axis=1)
+        s2_ref[:] = jnp.sum(flat * flat, axis=1)
+
+
+def conv3x3_gn_pallas(x, w, b=None, *, pre=None, pre_act="silu", skip=None,
+                      skip_rescale=False, emit_stats=False, interpret=None):
+    """Fused resblock conv: ``y = conv3x3(act(x*pre_w + pre_b)) [+ b]
+    [+ skip] [*1/sqrt2]``, optionally also returning per-(sample,channel)
+    ``(sum, sumsq)`` of ``y``'s f32 accumulator over H,W.
+
+    ``pre`` is ``(pre_w, pre_b)`` with shape ``[B, C_in]`` f32 — the
+    GroupNorm normalize-affine collapsed to per-channel scalars (see
+    ``ops.group_norm.gn_affine_coeffs``); ``pre_act`` applies inside the
+    kernel on the VMEM-resident block, so the normalized activation is
+    never materialized in HBM.  Forward-only (inference hot path; training
+    uses the unfused modules).
+    """
+    bsz, hh, ww, cin = x.shape
+    cout = w.shape[-1]
+    if w.shape[:3] != (3, 3, cin):
+        raise ValueError(f"weight {w.shape} does not match input {x.shape}")
+    if cin % 128 or cout % 128:
+        raise ValueError(f"channels must be multiples of 128, got "
+                         f"{cin}->{cout}")
+    if skip is not None and skip.shape != (bsz, hh, ww, cout):
+        raise ValueError(f"skip {skip.shape} != output {(bsz, hh, ww, cout)}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize,
+                           "valid9")
+    grid = (bsz // nb,)
+
+    args, in_specs = [x, w], [
+        pl.BlockSpec((nb, hh, ww, cin), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if b is not None:
+        args.append(b.reshape(1, cout))
+        in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if pre is not None:
+        pw, pb = pre
+        for t in (pw, pb):
+            if t.shape != (bsz, cin):
+                raise ValueError(f"pre coeffs {t.shape} != {(bsz, cin)}")
+        args += [pw.astype(jnp.float32), pb.astype(jnp.float32)]
+        in_specs += [pl.BlockSpec((nb, cin), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)] * 2
+    if skip is not None:
+        args.append(skip)
+        in_specs.append(pl.BlockSpec((nb, hh, ww, cout),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shape = [jax.ShapeDtypeStruct((bsz, hh, ww, cout), x.dtype)]
+    out_specs = [pl.BlockSpec((nb, hh, ww, cout), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_stats:
+        out_shape += [jax.ShapeDtypeStruct((bsz, cout), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((nb, cout), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+
+    kern = functools.partial(
+        lambda *refs, **kw: _conv_gn_kernel(refs, **kw),
+        hh=hh, ww=ww, cin=cin, cout=cout, has_bias=b is not None,
+        has_pre=pre is not None, has_skip=skip is not None,
+        skip_rescale=skip_rescale, emit_stats=emit_stats, pre_act=pre_act)
+
+    flops = 2 * bsz * hh * ww * 9 * cin * cout
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if emit_stats else out_specs[0],
+        out_shape=tuple(out_shape) if emit_stats else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + w.size * w.dtype.itemsize
+            + bsz * hh * ww * cout * x.dtype.itemsize
+            + (skip.size * skip.dtype.itemsize if skip is not None else 0),
+            transcendentals=bsz * hh * ww * cin if pre is not None else 0),
+        interpret=interpret,
+    )(*args)
+    return out
 
 
 def conv3x3_xla(x, w, b=None):

@@ -232,6 +232,52 @@ def group_norm_xla_channel(x, scale, bias, num_groups: int,
     return _apply_act(y, act).astype(x.dtype)
 
 
+def gn_channel_sums(x):
+    """Per-(sample,channel) spatial sums ``(s1, s2)`` f32 ``[B, C]`` — the
+    statistics input to :func:`gn_affine_coeffs`.  As an XLA reduce this
+    fuses into whatever produced ``x``; the fused conv kernel
+    (``ops.conv3x3.conv3x3_gn_pallas(emit_stats=True)``) emits the same
+    sums from its resident f32 accumulator."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf, axis=(1, 2)), jnp.sum(xf * xf, axis=(1, 2))
+
+
+def gn_affine_coeffs(s1, s2, n_spatial: int, scale, bias, num_groups: int,
+                     eps: float = 1e-6, extra_bias=None):
+    """Collapse GroupNorm(+ optional per-(sample,channel) ``extra_bias``)
+    into per-channel affine scalars ``(w_c, b_c)`` f32 ``[B, C]`` such that
+    ``GN(x + tb) == x * w_c + b_c`` — consumable by the fused conv kernel's
+    prologue or one XLA mul-add.
+
+    ``s1/s2`` are the channel sums of ``x`` (NOT of ``x+tb``); the bias
+    enters algebraically: ``s1' = s1 + n*tb``, ``s2' = s2 + 2*tb*s1 +
+    n*tb**2`` — zero activation traffic.  Same fast-variance f32 math as
+    :func:`group_norm_reference`."""
+    b, c = s1.shape
+    gs = c // num_groups
+    n = n_spatial * gs
+    s1 = s1.astype(jnp.float32)
+    s2 = s2.astype(jnp.float32)
+    if extra_bias is not None:
+        tb = jnp.broadcast_to(extra_bias.astype(jnp.float32), (b, c))
+        s2 = s2 + 2.0 * tb * s1 + n_spatial * tb * tb
+        s1 = s1 + n_spatial * tb
+    sg = s1.reshape(b, num_groups, gs).sum(-1)
+    s2g = s2.reshape(b, num_groups, gs).sum(-1)
+    mu = sg / n
+    var = s2g / n - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    inv_c = jnp.repeat(inv, gs, axis=1)
+    mu_c = jnp.repeat(mu, gs, axis=1)
+    w_c = inv_c * scale.astype(jnp.float32)
+    b_c = bias.astype(jnp.float32) - mu_c * w_c
+    if extra_bias is not None:
+        # the kernel prologue applies x*w_c + b_c to the RAW x; fold the
+        # tb shift in: (x + tb - mu)*inv*scale + bias
+        b_c = b_c + tb * w_c
+    return w_c, b_c
+
+
 def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
                      act: str | None = None, extra_bias=None):
     """Dispatcher: XLA formulation by default (see note above); Pallas kernel

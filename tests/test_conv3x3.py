@@ -119,3 +119,74 @@ def test_pconv_param_tree_matches_nn_conv():
     assert jax.tree.structure(p1) == jax.tree.structure(p2)
     assert all(a.shape == b.shape for a, b in
                zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
+
+
+def test_ncsnpp_forward_fused_resblock_equals_off(monkeypatch):
+    """NATDIFF_PALLAS_CONV=2: GN_0+SiLU->Conv_0->(+temb)GN_1+SiLU->Conv_1
+    ->+skip/sqrt2 as two fused kernels — must match the unfused forward."""
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    cfg = NCSNppConfig(nf=128, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(), image_size=8)
+    model = NCSNpp(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3), jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x[:1], t[:1])["params"]
+
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    y_off = model.apply({"params": params}, x, t)
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    y_on = model.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=0, atol=5e-5)
+
+
+def test_fused_resblock_param_tree_unchanged(monkeypatch):
+    """init under flag=2 must create the exact same param tree (names +
+    shapes) as the unfused init — checkpoint mapping cannot depend on the
+    perf mode."""
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    cfg = NCSNppConfig(nf=128, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(), image_size=8)
+    model = NCSNpp(config=cfg)
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    p_off = model.init(jax.random.PRNGKey(1), x, t)["params"]
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    p_on = model.init(jax.random.PRNGKey(1), x, t)["params"]
+    assert jax.tree.structure(p_on) == jax.tree.structure(p_off)
+    for a, b in zip(jax.tree.leaves(p_on), jax.tree.leaves(p_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_conv_gn_kernel_oracle():
+    """conv3x3_gn_pallas == GN(+tb,+silu) -> conv -> +skip/sqrt2 oracle,
+    incl. the emitted channel sums."""
+    from naturaldiffusion_tpu.ops.conv3x3 import (conv3x3_gn_pallas,
+                                                  conv3x3_xla)
+    from naturaldiffusion_tpu.ops.group_norm import (
+        group_norm_reference, gn_channel_sums, gn_affine_coeffs)
+    k = jax.random.PRNGKey(0)
+    B, H, W, C = 2, 8, 8, 128
+    x = jax.random.normal(k, (B, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, C),
+                          jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(2), (C,), jnp.float32)
+    sc = 1 + 0.1 * jax.random.normal(jax.random.PRNGKey(3), (C,))
+    bi = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (C,))
+    tb = 0.2 * jax.random.normal(jax.random.PRNGKey(5), (B, C))
+    skip = jax.random.normal(jax.random.PRNGKey(6), (B, H, W, C))
+
+    gn = group_norm_reference(x, sc, bi, 32, act="silu", extra_bias=tb)
+    want = (conv3x3_xla(gn, w, b) + skip) / np.sqrt(2.0)
+    s1, s2 = gn_channel_sums(x)
+    wc, bc = gn_affine_coeffs(s1, s2, H * W, sc, bi, 32, extra_bias=tb)
+    got, g1, g2 = conv3x3_gn_pallas(x, w, b, pre=(wc, bc), skip=skip,
+                                    skip_rescale=True, emit_stats=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+    w1, w2 = gn_channel_sums(want)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(w1),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(w2),
+                               rtol=1e-4, atol=1e-3)
