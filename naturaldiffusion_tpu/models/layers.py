@@ -309,6 +309,33 @@ class ResnetBlockDDPMpp(nn.Module):
         act = nn.silu
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
+
+        from ..ops.conv3x3 import fused_resblock_enabled
+        if (fused_resblock_enabled() and deterministic
+                and in_ch % 128 == 0 and out_ch % 128 == 0):
+            # NATDIFF_PALLAS_CONV=2 — same two-fused-kernels form as the
+            # BigGAN block below (see that branch for the mechanism)
+            w0, b0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                                act="silu")(x, coeffs_only=True)
+            h, s1, s2 = conv3x3(out_ch, name="Conv_0")(
+                x, pre=(w0, b0), emit_stats=True)
+            if tb is None and temb is not None:
+                tb = nn.Dense(out_ch, kernel_init=default_init(),
+                              bias_init=jax.nn.initializers.zeros,
+                              name="Dense_0")(act(temb))
+            w1, b1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                                act="silu")(h, extra_bias=tb, stats=(s1, s2),
+                                            coeffs_only=True)
+            if in_ch != out_ch:
+                xs = (conv3x3(out_ch, name="Conv_2")(x)
+                      if self.conv_shortcut else NIN(out_ch, name="NIN_0")(x))
+            else:
+                xs = x
+            return conv3x3(out_ch, init_scale=self.init_scale,
+                           name="Conv_1")(h, pre=(w1, b1),
+                                          skip=xs.astype(h.dtype),
+                                          skip_rescale=self.skip_rescale)
+
         h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
                        act="silu")(x)
         h = conv3x3(out_ch, name="Conv_0")(h)

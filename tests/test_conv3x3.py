@@ -190,3 +190,21 @@ def test_fused_conv_gn_kernel_oracle():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(w2),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_ddpm_resblock_fused_equals_off(monkeypatch):
+    """The DDPM-style resblock's fused path (incl. NIN shortcut and the
+    no-rescale skip) must match the unfused forward."""
+    from naturaldiffusion_tpu.models.layers import ResnetBlockDDPMpp
+    for in_ch, out_ch, rescale in [(128, 128, True), (128, 256, False)]:
+        blk = ResnetBlockDDPMpp(out_ch=out_ch, skip_rescale=rescale,
+                                dropout=0.0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, in_ch))
+        temb = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+        params = blk.init(jax.random.PRNGKey(2), x, temb)["params"]
+        monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+        want = blk.apply({"params": params}, x, temb)
+        monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+        got = blk.apply({"params": params}, x, temb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=5e-5)
