@@ -192,6 +192,36 @@ def test_fused_conv_gn_kernel_oracle():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_fused_conv_under_dp_sharding(monkeypatch):
+    """The Pallas conv paths must survive the DP-sharded dispatch the 50k
+    FID sweep uses: batch sharded over the 8-device mesh, per-device batch
+    1, kernel gridded on the local shard."""
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    from naturaldiffusion_tpu.parallel import make_mesh, shard_batch
+
+    cfg = NCSNppConfig(image_size=8, num_channels=3, nf=128, ch_mult=(1,),
+                       num_res_blocks=1, attn_resolutions=(), dropout=0.0)
+    model = NCSNpp(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 3), jnp.float32)
+    t = jnp.full((8,), 500.0)
+    params = model.init(jax.random.PRNGKey(1), x[:1], t[:1])["params"]
+
+    def fwd(z, tt):
+        return model.apply({"params": params}, z, tt)
+
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    want = jax.jit(fwd)(x, t)
+
+    mesh = make_mesh({"data": 8})
+    xs, ts = shard_batch(mesh, (x, t))
+    for flag in ("1", "2"):
+        monkeypatch.setenv("NATDIFF_PALLAS_CONV", flag)
+        got = jax.jit(fwd)(xs, ts)
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=5e-5)
+
+
 def test_ddpm_resblock_fused_equals_off(monkeypatch):
     """The DDPM-style resblock's fused path (incl. NIN shortcut and the
     no-rescale skip) must match the unfused forward."""
