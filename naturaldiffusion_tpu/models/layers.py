@@ -89,8 +89,8 @@ class PConv3x3(nn.Module):
     kernel_init: object = None
 
     @nn.compact
-    def __call__(self, x, *, pre=None, skip=None, skip_rescale=False,
-                 emit_stats=False):
+    def __call__(self, x, *, pre=None, pre_act="silu", skip=None,
+                 skip_rescale=False, emit_stats=False):
         from ..ops import conv3x3 as pconv
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init or default_init(),
@@ -102,14 +102,16 @@ class PConv3x3(nn.Module):
         x, kernel = x.astype(dt), kernel.astype(dt)
         bias = None if bias is None else bias.astype(dt)
         if pre is not None or skip is not None or emit_stats:
-            # fused resblock form (caller gates on fused_resblock_enabled)
+            # fused resblock form (caller gates on fused_resblock_ok)
             return pconv.conv3x3_gn_pallas(
-                x, kernel, bias, pre=pre, skip=skip,
+                x, kernel, bias, pre=pre, pre_act=pre_act, skip=skip,
                 skip_rescale=skip_rescale, emit_stats=emit_stats)
+        variant = pconv.default_variant()
         if (pconv.pallas_conv_enabled()
-                and cin % 128 == 0 and self.features % 128 == 0):
-            return pconv.conv3x3_pallas(x, kernel, bias,
-                                        variant=pconv.default_variant())
+                and cin % 128 == 0 and self.features % 128 == 0
+                and pconv.pallas_conv_fits(x.shape, self.features,
+                                           x.dtype.itemsize, variant)):
+            return pconv.conv3x3_pallas(x, kernel, bias, variant=variant)
         return pconv.conv3x3_xla(x, kernel, bias)
 
 
@@ -310,29 +312,29 @@ class ResnetBlockDDPMpp(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
 
-        from ..ops.conv3x3 import fused_resblock_enabled
-        if (fused_resblock_enabled() and deterministic
-                and in_ch % 128 == 0 and out_ch % 128 == 0):
+        from ..ops.conv3x3 import fused_resblock_ok
+        if fused_resblock_ok(x, out_ch) and deterministic:
             # NATDIFF_PALLAS_CONV=2 — same two-fused-kernels form as the
             # BigGAN block below (see that branch for the mechanism)
-            w0, b0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
-                                act="silu")(x, coeffs_only=True)
+            gn0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                             act="silu")
+            w0, b0 = gn0(x, coeffs_only=True)
             h, s1, s2 = conv3x3(out_ch, name="Conv_0")(
-                x, pre=(w0, b0), emit_stats=True)
+                x, pre=(w0, b0), pre_act=gn0.act, emit_stats=True)
             if tb is None and temb is not None:
                 tb = nn.Dense(out_ch, kernel_init=default_init(),
                               bias_init=jax.nn.initializers.zeros,
                               name="Dense_0")(act(temb))
-            w1, b1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
-                                act="silu")(h, extra_bias=tb, stats=(s1, s2),
-                                            coeffs_only=True)
+            gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                             act="silu")
+            w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2), coeffs_only=True)
             if in_ch != out_ch:
                 xs = (conv3x3(out_ch, name="Conv_2")(x)
                       if self.conv_shortcut else NIN(out_ch, name="NIN_0")(x))
             else:
                 xs = x
             return conv3x3(out_ch, init_scale=self.init_scale,
-                           name="Conv_1")(h, pre=(w1, b1),
+                           name="Conv_1")(h, pre=(w1, b1), pre_act=gn1.act,
                                           skip=xs.astype(h.dtype),
                                           skip_rescale=self.skip_rescale)
 
@@ -374,9 +376,9 @@ class ResnetBlockBigGANpp(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
 
-        from ..ops.conv3x3 import fused_resblock_enabled
-        if (fused_resblock_enabled() and not self.up and not self.down
-                and deterministic and in_ch % 128 == 0 and out_ch % 128 == 0):
+        from ..ops.conv3x3 import fused_resblock_ok
+        if (fused_resblock_ok(x, out_ch) and not self.up and not self.down
+                and deterministic):
             # NATDIFF_PALLAS_CONV=2: the whole block as two fused kernels.
             # GN_0+SiLU ride Conv_0's prologue (normalized x never touches
             # HBM), Conv_0 emits GN_1's channel sums from its resident f32
@@ -385,20 +387,21 @@ class ResnetBlockBigGANpp(nn.Module):
             # Conv_1's epilogue.  Dropout is inference-identity here
             # (deterministic gate above).  Param set/names identical to the
             # unfused path — same checkpoint mapping.
-            w0, b0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
-                                act="silu")(x, coeffs_only=True)
+            gn0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                             act="silu")
+            w0, b0 = gn0(x, coeffs_only=True)
             h, s1, s2 = conv3x3(out_ch, name="Conv_0")(
-                x, pre=(w0, b0), emit_stats=True)
+                x, pre=(w0, b0), pre_act=gn0.act, emit_stats=True)
             if tb is None and temb is not None:
                 tb = nn.Dense(out_ch, kernel_init=default_init(),
                               bias_init=jax.nn.initializers.zeros,
                               name="Dense_0")(act(temb))
-            w1, b1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
-                                act="silu")(h, extra_bias=tb, stats=(s1, s2),
-                                            coeffs_only=True)
+            gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                             act="silu")
+            w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2), coeffs_only=True)
             xs = x if in_ch == out_ch else conv1x1(out_ch, name="Conv_2")(x)
             return conv3x3(out_ch, init_scale=self.init_scale,
-                           name="Conv_1")(h, pre=(w1, b1),
+                           name="Conv_1")(h, pre=(w1, b1), pre_act=gn1.act,
                                           skip=xs.astype(h.dtype),
                                           skip_rescale=self.skip_rescale)
 

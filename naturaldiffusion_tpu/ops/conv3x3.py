@@ -27,13 +27,34 @@ it can cover the model's whole hot path.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+# trace-time opt-out: forward-mode autodiff (jax.jvp) cannot cross a
+# custom_vjp / raw pallas_call, so jvp consumers (the Hutchinson divergence
+# in eval/likelihood.py) trace their model calls under xla_conv_only()
+_XLA_ONLY = contextvars.ContextVar("natdiff_conv_xla_only", default=False)
+
+
+@contextlib.contextmanager
+def xla_conv_only():
+    """Disable the Pallas conv flags for calls traced inside this context
+    (regardless of ``NATDIFF_PALLAS_CONV``) — used by code that needs
+    forward-mode autodiff through the model."""
+    tok = _XLA_ONLY.set(True)
+    try:
+        yield
+    finally:
+        _XLA_ONLY.reset(tok)
 
 
 def pallas_conv_enabled() -> bool:
@@ -41,11 +62,28 @@ def pallas_conv_enabled() -> bool:
     ``1`` = plain kernel swap; ``2`` = also the fused resblock path
     (conv + GN prologue/stats/skip in one kernel, see
     :func:`conv3x3_gn_pallas`)."""
+    if _XLA_ONLY.get():
+        return False
     return os.environ.get("NATDIFF_PALLAS_CONV", "0") in ("1", "2")
 
 
 def fused_resblock_enabled() -> bool:
+    if _XLA_ONLY.get():
+        return False
     return os.environ.get("NATDIFF_PALLAS_CONV", "0") == "2"
+
+
+def fused_resblock_ok(x, out_ch: int) -> bool:
+    """Full dispatch gate for the fused-resblock kernels: flag on, both
+    channel counts lane-aligned, and the WORST-CASE working set of the
+    block's two fused convs (pre + skip + stats at block-batch 1) fits
+    VMEM — large-feature-map configs fall through to the unfused path."""
+    cin = x.shape[-1]
+    if not (fused_resblock_enabled() and cin % 128 == 0 and out_ch % 128 == 0):
+        return False
+    worst = (x.shape[0], x.shape[1], x.shape[2], max(cin, out_ch))
+    return pallas_conv_fits(worst, out_ch, x.dtype.itemsize, "valid9",
+                            fused=True, has_pre=True, has_skip=True)
 
 
 def default_variant() -> str:
@@ -57,6 +95,39 @@ def default_variant() -> str:
 # per-grid-step VMEM budget for (double-buffered input + output) + f32
 # accumulator + weights; v5e has ~16MB of VMEM per core
 _VMEM_BUDGET = 10 * 1024 * 1024
+# hard eligibility cap: if even ONE image's working set (+ the resident
+# weight block) exceeds this, the kernel cannot be tiled on the batch grid
+# at all and the dispatcher must stay on XLA (which tiles spatially)
+_VMEM_FIT = 12 * 1024 * 1024
+
+
+def _working_set_bytes(nb, hh, ww, cin, cout, itemsize, variant,
+                       fused=False, has_pre=False, has_skip=False):
+    """VMEM bytes for one grid step at block-batch ``nb``."""
+    halo = 0 if (variant == "valid9" or fused) else 2
+    per = (
+        2 * nb * (hh + halo) * (ww + halo) * cin * itemsize  # in, dbl-buffered
+        + 2 * nb * hh * ww * cout * itemsize                 # out, dbl-buffered
+        + nb * hh * ww * cout * 4                            # f32 accumulator
+    )
+    if variant == "kstack":
+        per += nb * hh * ww * 3 * cin * itemsize             # dx-concat staging
+    if fused and has_pre:
+        per += nb * hh * ww * cin * 4                        # f32 prologue temp
+    if fused and has_skip:
+        per += 2 * nb * hh * ww * cout * itemsize            # skip, dbl-buffered
+    return per + 9 * cin * cout * itemsize                   # resident weights
+
+
+def pallas_conv_fits(shape, cout, itemsize, variant="valid9", *,
+                     fused=False, has_pre=False, has_skip=False) -> bool:
+    """True when a single-image grid step fits the VMEM cap — the dispatch
+    gate that keeps large-feature-map configs (e.g. celebahq-256 level-0
+    maps) on the XLA conv instead of failing Mosaic VMEM allocation."""
+    _, hh, ww, cin = shape
+    return _working_set_bytes(1, hh, ww, cin, cout, itemsize, variant,
+                              fused=fused, has_pre=has_pre,
+                              has_skip=has_skip) <= _VMEM_FIT
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
@@ -141,6 +212,68 @@ def conv3x3_pallas(x, w, b=None, interpret=None, variant="taps9"):
     return _forward(x, w, b, interpret, variant)
 
 
+def _batch_axis(sharding):
+    """The mesh axis (or axes tuple) the batch dim is sharded over, else
+    None.  Only dim-0 sharding is grid-parallelizable here; any other dim's
+    sharding is dropped (the partition callback reshards to batch-only)."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _cp_wrap(raw, batch_args, out_specs_of, rule):
+    """Wrap ``raw`` (positional array args) in a custom_partitioning that
+    grids the Mosaic call on the LOCAL batch shard under DP instead of
+    forcing GSPMD to treat the custom call as opaque (which would
+    all-gather the global batch onto every device).
+
+    ``batch_args``: indices of args that carry the batch dim (sharded along
+    it; the rest — weights/bias — are replicated).
+    ``out_specs_of(ax)``: output sharding spec(s) given the batch axis.
+    ``rule``: shardy einsum-like sharding rule (batch factor shared only).
+    """
+    cp = custom_partitioning(raw)
+    batch_args = frozenset(batch_args)
+
+    def partition(mesh, arg_infos, result_infos):
+        ax = _batch_axis(arg_infos[0].sharding)
+        arg_shardings = tuple(
+            NamedSharding(mesh, P(ax, *([None] * (len(info.shape) - 1))))
+            if i in batch_args
+            else NamedSharding(mesh, P())
+            for i, info in enumerate(arg_infos))
+        outs = out_specs_of(ax)
+        out_shardings = (NamedSharding(mesh, outs[0]) if len(outs) == 1
+                         else tuple(NamedSharding(mesh, s) for s in outs))
+        return mesh, raw, out_shardings, arg_shardings
+
+    def infer(mesh, arg_infos, result_infos):
+        ax = _batch_axis(arg_infos[0].sharding)
+        outs = out_specs_of(ax)
+        if len(outs) == 1:
+            return NamedSharding(mesh, outs[0])
+        return tuple(NamedSharding(mesh, s) for s in outs)
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_conv(has_bias, interpret, variant):
+    if has_bias:
+        def raw(x, w, b):
+            return _pallas_conv_call(x, w, b, interpret, variant)
+        rule = "b h w i, p q r s, z -> b m n o"
+    else:
+        def raw(x, w):
+            return _pallas_conv_call(x, w, None, interpret, variant)
+        rule = "b h w i, p q r s -> b m n o"
+    return _cp_wrap(raw, (0,), lambda ax: (P(ax, None, None, None),), rule)
+
+
 def _forward(x, w, b, interpret, variant):
     bsz, hh, ww, cin = x.shape
     cout = w.shape[-1]
@@ -149,9 +282,20 @@ def _forward(x, w, b, interpret, variant):
     if cin % 128 or cout % 128:
         raise ValueError(f"channels must be multiples of 128, got "
                          f"{cin}->{cout} (use XLA conv for this shape)")
+    if not pallas_conv_fits(x.shape, cout, x.dtype.itemsize, variant):
+        raise ValueError(
+            f"conv3x3_pallas working set for {x.shape}->{cout} exceeds VMEM "
+            f"({_working_set_bytes(1, hh, ww, cin, cout, x.dtype.itemsize, variant)} "
+            f"> {_VMEM_FIT} bytes at block-batch 1); use conv3x3_xla")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    cp = _cp_conv(b is not None, interpret, variant)
+    return cp(x, w, b) if b is not None else cp(x, w)
 
+
+def _pallas_conv_call(x, w, b, interpret, variant):
+    bsz, hh, ww, cin = x.shape
+    cout = w.shape[-1]
     pad = variant != "valid9"
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))) if pad else x
     nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize, variant)
@@ -249,6 +393,39 @@ def _conv_gn_kernel(refs, *, hh, ww, cin, cout, has_bias, has_pre, has_skip,
         s2_ref[:] = jnp.sum(flat * flat, axis=1)
 
 
+@functools.lru_cache(maxsize=None)
+def _cp_fused(has_bias, has_pre, has_skip, skip_rescale, emit_stats,
+              pre_act, interpret):
+    def raw(*args):
+        return _pallas_fused_call(
+            args, has_bias=has_bias, has_pre=has_pre, has_skip=has_skip,
+            skip_rescale=skip_rescale, emit_stats=emit_stats,
+            pre_act=pre_act, interpret=interpret)
+
+    ins = ["b h w i", "p q r s"]
+    batch_idx, i = [0], 2
+    if has_bias:
+        ins.append("z")
+        i += 1
+    if has_pre:
+        ins += ["b c1", "b c2"]
+        batch_idx += [i, i + 1]
+        i += 2
+    if has_skip:
+        ins.append("b e f g")
+        batch_idx.append(i)
+    outs = ["b m n o"] + (["b t1", "b t2"] if emit_stats else [])
+    rule = ", ".join(ins) + " -> " + ", ".join(outs)
+
+    def out_specs(ax):
+        specs = [P(ax, None, None, None)]
+        if emit_stats:
+            specs += [P(ax, None), P(ax, None)]
+        return tuple(specs)
+
+    return _cp_wrap(raw, tuple(batch_idx), out_specs, rule)
+
+
 def conv3x3_gn_pallas(x, w, b=None, *, pre=None, pre_act="silu", skip=None,
                       skip_rescale=False, emit_stats=False, interpret=None):
     """Fused resblock conv: ``y = conv3x3(act(x*pre_w + pre_b)) [+ b]
@@ -269,10 +446,46 @@ def conv3x3_gn_pallas(x, w, b=None, *, pre=None, pre_act="silu", skip=None,
     if cin % 128 or cout % 128:
         raise ValueError(f"channels must be multiples of 128, got "
                          f"{cin}->{cout}")
+    if pre_act not in (None, "silu"):
+        raise ValueError(f"unsupported pre_act {pre_act!r} "
+                         "(kernel prologue implements None | 'silu')")
     if skip is not None and skip.shape != (bsz, hh, ww, cout):
         raise ValueError(f"skip {skip.shape} != output {(bsz, hh, ww, cout)}")
+    if not pallas_conv_fits(x.shape, cout, x.dtype.itemsize, "valid9",
+                            fused=True, has_pre=pre is not None,
+                            has_skip=skip is not None):
+        raise ValueError(
+            f"conv3x3_gn_pallas working set for {x.shape}->{cout} exceeds "
+            f"VMEM at block-batch 1; use the unfused XLA path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    args = [x, w]
+    if b is not None:
+        args.append(b)
+    if pre is not None:
+        pw, pb = pre
+        for t in (pw, pb):
+            if t.shape != (bsz, cin):
+                raise ValueError(f"pre coeffs {t.shape} != {(bsz, cin)}")
+        args += [pw.astype(jnp.float32), pb.astype(jnp.float32)]
+    if skip is not None:
+        args.append(skip)
+    cp = _cp_fused(b is not None, pre is not None, skip is not None,
+                   skip_rescale, emit_stats, pre_act, interpret)
+    return cp(*args)
+
+
+def _pallas_fused_call(arrays, *, has_bias, has_pre, has_skip, skip_rescale,
+                       emit_stats, pre_act, interpret):
+    it = iter(arrays)
+    x = next(it)
+    w = next(it)
+    b = next(it) if has_bias else None
+    pre = (next(it), next(it)) if has_pre else None
+    skip = next(it) if has_skip else None
+    bsz, hh, ww, cin = x.shape
+    cout = w.shape[-1]
 
     nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize,
                            "valid9")
@@ -289,11 +502,7 @@ def conv3x3_gn_pallas(x, w, b=None, *, pre=None, pre_act="silu", skip=None,
         in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     if pre is not None:
-        pw, pb = pre
-        for t in (pw, pb):
-            if t.shape != (bsz, cin):
-                raise ValueError(f"pre coeffs {t.shape} != {(bsz, cin)}")
-        args += [pw.astype(jnp.float32), pb.astype(jnp.float32)]
+        args += [pre[0], pre[1]]
         in_specs += [pl.BlockSpec((nb, cin), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)] * 2
     if skip is not None:

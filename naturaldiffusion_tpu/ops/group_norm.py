@@ -212,23 +212,14 @@ def group_norm_xla_channel(x, scale, bias, num_groups: int,
     as the minor (lane) axis, so the stats pass vectorizes over C instead
     of striding through the (B,H,W,G,gs) view.  Same fast-variance math as
     :func:`group_norm_reference` up to f32 summation order."""
-    b, h, w, c = x.shape
-    gs = c // num_groups
-    n = h * w * gs
-    xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=(1, 2))                            # [B, C]
-    s2 = jnp.sum(xf * xf, axis=(1, 2))                      # [B, C]
-    sg = s.reshape(b, num_groups, gs).sum(-1)               # [B, G]
-    s2g = s2.reshape(b, num_groups, gs).sum(-1)
-    mu = sg / n
-    var = s2g / n - mu * mu
-    inv = jax.lax.rsqrt(var + eps)
-    # broadcast back per channel and fold the affine into one mul-add
-    inv_c = jnp.repeat(inv, gs, axis=1)                     # [B, C]
-    mu_c = jnp.repeat(mu, gs, axis=1)
-    w_c = inv_c * scale.astype(jnp.float32)
-    b_c = bias.astype(jnp.float32) - mu_c * w_c
-    y = xf * w_c[:, None, None, :] + b_c[:, None, None, :]
+    _, h, w, _ = x.shape
+    # one shared implementation of the group-fold / fast-variance / affine
+    # collapse (gn_affine_coeffs below) — the fused-resblock path consumes
+    # the identical coefficients, so numerics fixes land in one place
+    s1, s2 = gn_channel_sums(x)
+    w_c, b_c = gn_affine_coeffs(s1, s2, h * w, scale, bias, num_groups,
+                                eps=eps)
+    y = x.astype(jnp.float32) * w_c[:, None, None, :] + b_c[:, None, None, :]
     return _apply_act(y, act).astype(x.dtype)
 
 

@@ -43,19 +43,20 @@ def restore(workdir_or_path: str, template):
     meta = os.path.join(path, "checkpoints-meta")
     if os.path.isdir(meta):
         path = meta
-    if not os.path.isdir(path):
+    # a directory only counts as a checkpoint when orbax's metadata marker
+    # is present; an existing-but-checkpoint-free dir (e.g. a fresh workdir
+    # the caller already created) keeps the reference's warn-and-continue
+    # contract, while a PARTIAL write (marker present, payload missing —
+    # preemption mid-save) stays a loud error instead of silently
+    # restarting training from step 0
+    if not os.path.isdir(path) or not any(
+            os.path.exists(os.path.join(path, m))
+            for m in ("_METADATA", "_CHECKPOINT_METADATA", "checkpoint")):
         logging.warning("No checkpoint found at %s. Returned the same state "
                         "as input", path)
         return template
-    try:
-        with ocp.PyTreeCheckpointer() as ck:
-            return ck.restore(path, item=template)
-    except FileNotFoundError:
-        # an existing workdir with no checkpoint in it (e.g. a fresh run
-        # directory the caller already created) — same no-op contract
-        logging.warning("No checkpoint structure at %s. Returned the same "
-                        "state as input", path)
-        return template
+    with ocp.PyTreeCheckpointer() as ck:
+        return ck.restore(path, item=template)
 
 
 def latest_snapshot_step(workdir: str) -> int | None:

@@ -238,3 +238,117 @@ def test_ddpm_resblock_fused_equals_off(monkeypatch):
         got = blk.apply({"params": params}, x, temb)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=5e-5)
+
+
+def test_vmem_gate_and_module_fallback(monkeypatch):
+    """Shapes whose single-image working set exceeds VMEM must be rejected
+    by the op (clear error) and silently fall back to XLA at the module
+    dispatch (the celebahq-256 / LSUN level-0 maps)."""
+    from naturaldiffusion_tpu.models.layers import PConv3x3
+    from naturaldiffusion_tpu.ops.conv3x3 import pallas_conv_fits
+
+    assert pallas_conv_fits((64, 32, 32, 128), 128, 2)        # CIFAR resblock
+    assert not pallas_conv_fits((1, 256, 256, 128), 128, 2)   # celebahq-256
+
+    big = jnp.zeros((1, 256, 256, 128), jnp.bfloat16)
+    wt = jnp.zeros((3, 3, 128, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="VMEM"):
+        conv3x3_pallas(big, wt)
+
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "1")
+    m = PConv3x3(128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128, 128))
+    params = m.init(jax.random.PRNGKey(1), x)["params"]
+    got = m.apply({"params": params}, x)      # falls through to XLA
+    want = conv3x3_xla(x, params["kernel"], params["bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_xla_conv_only_context(monkeypatch):
+    from naturaldiffusion_tpu.ops import conv3x3 as pc
+
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    assert pc.pallas_conv_enabled() and pc.fused_resblock_enabled()
+    with pc.xla_conv_only():
+        assert not pc.pallas_conv_enabled()
+        assert not pc.fused_resblock_enabled()
+    assert pc.pallas_conv_enabled()
+
+
+def test_jvp_with_flag_needs_xla_conv_context(monkeypatch):
+    """Forward-mode autodiff (the Hutchinson divergence in
+    eval/likelihood.py) cannot cross the custom-VJP Pallas conv; the
+    xla_conv_only() trace context must restore it with the flag set."""
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    from naturaldiffusion_tpu.ops.conv3x3 import xla_conv_only
+
+    cfg = NCSNppConfig(image_size=8, num_channels=3, nf=128, ch_mult=(1,),
+                       num_res_blocks=1, attn_resolutions=(), dropout=0.0)
+    model = NCSNpp(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    params = model.init(jax.random.PRNGKey(1), x, t)["params"]
+    v = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.float32)
+
+    def f(z):
+        return model.apply({"params": params}, z, t)
+
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    want_y, want_jv = jax.jvp(f, (x,), (v,))
+
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    with pytest.raises(Exception):
+        jax.jvp(f, (x,), (v,))
+    with xla_conv_only():
+        got_y, got_jv = jax.jvp(f, (x,), (v,))
+    np.testing.assert_allclose(np.asarray(got_jv), np.asarray(want_jv),
+                               atol=1e-5)
+
+
+def test_likelihood_fn_survives_conv_flag(monkeypatch):
+    """End-to-end: get_likelihood_fn applies xla_conv_only() itself, so
+    --bpd evaluation works with NATDIFF_PALLAS_CONV set."""
+    from naturaldiffusion_tpu.eval.likelihood import get_likelihood_fn
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    from naturaldiffusion_tpu.sde import VPSDE
+
+    cfg = NCSNppConfig(image_size=8, num_channels=3, nf=128, ch_mult=(1,),
+                       num_res_blocks=1, attn_resolutions=(), dropout=0.0)
+    model = NCSNpp(config=cfg)
+    # f64 ODE state: the x64 test env promotes the integrator's step-size
+    # bookkeeping to f64, so keep the whole state wide for dtype stability
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3), jnp.float64)
+    params = model.init(jax.random.PRNGKey(1), x, jnp.zeros(1))["params"]
+    sde = VPSDE()
+
+    def score_fn(z, tt):
+        lbl = tt * (sde.N - 1)
+        out = model.apply({"params": params}, z, lbl)
+        std = sde.marginal_prob(jnp.zeros_like(z), tt)[1]
+        # keep the ODE state dtype stable under x64 (std is f64 here)
+        return (-out / std[:, None, None, None]).astype(z.dtype)
+
+    lf = get_likelihood_fn(sde, score_fn, rtol=1e-1, atol=1e-1)
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    bpd, _, nfe = lf(jax.random.PRNGKey(3), x)
+    assert np.isfinite(np.asarray(bpd)).all() and int(nfe) > 0
+
+
+def test_fused_pre_act_none_and_invalid():
+    """pre_act=None applies only the affine prologue; unknown names fail
+    loudly instead of silently skipping the activation."""
+    from naturaldiffusion_tpu.ops.conv3x3 import conv3x3_gn_pallas
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 4, 4, 128), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128),
+                           jnp.float32) * 0.05
+    pw = jnp.full((2, 128), 1.5, jnp.float32)
+    pb = jnp.full((2, 128), -0.25, jnp.float32)
+
+    got = conv3x3_gn_pallas(x, wt, pre=(pw, pb), pre_act=None)
+    want = conv3x3_xla(x * 1.5 - 0.25, wt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    with pytest.raises(ValueError, match="pre_act"):
+        conv3x3_gn_pallas(x, wt, pre=(pw, pb), pre_act="relu")
