@@ -377,6 +377,51 @@ class ResnetBlockBigGANpp(nn.Module):
         out_ch = self.out_ch or in_ch
 
         from ..ops.conv3x3 import fused_resblock_ok
+        if (self.up or self.down) and deterministic:
+            b, hh, ww, _ = x.shape
+            rshape = ((b, hh * 2, ww * 2, in_ch) if self.up
+                      else (b, hh // 2, ww // 2, in_ch))
+            if fused_resblock_ok(x, out_ch, shape=rshape):
+                # NATDIFF_PALLAS_CONV=2, resampling form — partial fusion.
+                # The resample sits between GN_0's SiLU and Conv_0 (and
+                # SiLU does not commute with avg-pool/FIR), so GN_0 stays
+                # a standalone pass; everything downstream keeps the fused
+                # form: Conv_0 emits GN_1's channel sums from its resident
+                # f32 accumulator, GN_1+SiLU ride Conv_1's prologue, and
+                # the 1x1-shortcut skip-add (+1/sqrt2) is Conv_1's
+                # epilogue.  Param set/names identical to the unfused path.
+                h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
+                               act="silu")(x)
+                if self.up:
+                    if self.fir:
+                        h = firops.upsample_2d(h, k=list(self.fir_kernel))
+                        x = firops.upsample_2d(x, k=list(self.fir_kernel))
+                    else:
+                        h = _naive_upsample(h)
+                        x = _naive_upsample(x)
+                else:
+                    if self.fir:
+                        h = firops.downsample_2d(h, k=list(self.fir_kernel))
+                        x = firops.downsample_2d(x, k=list(self.fir_kernel))
+                    else:
+                        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                h, s1, s2 = conv3x3(out_ch, name="Conv_0")(h, emit_stats=True)
+                if tb is None and temb is not None:
+                    tb = nn.Dense(out_ch, kernel_init=default_init(),
+                                  bias_init=jax.nn.initializers.zeros,
+                                  name="Dense_0")(act(temb))
+                gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
+                                 act="silu")
+                w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2),
+                             coeffs_only=True)
+                xs = conv1x1(out_ch, name="Conv_2")(x)
+                return conv3x3(out_ch, init_scale=self.init_scale,
+                               name="Conv_1")(h, pre=(w1, b1),
+                                              pre_act=gn1.act,
+                                              skip=xs.astype(h.dtype),
+                                              skip_rescale=self.skip_rescale)
+
         if (fused_resblock_ok(x, out_ch) and not self.up and not self.down
                 and deterministic):
             # NATDIFF_PALLAS_CONV=2: the whole block as two fused kernels.

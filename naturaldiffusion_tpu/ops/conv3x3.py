@@ -73,15 +73,20 @@ def fused_resblock_enabled() -> bool:
     return os.environ.get("NATDIFF_PALLAS_CONV", "0") == "2"
 
 
-def fused_resblock_ok(x, out_ch: int) -> bool:
+def fused_resblock_ok(x, out_ch: int, *, shape=None) -> bool:
     """Full dispatch gate for the fused-resblock kernels: flag on, both
     channel counts lane-aligned, and the WORST-CASE working set of the
     block's two fused convs (pre + skip + stats at block-batch 1) fits
-    VMEM — large-feature-map configs fall through to the unfused path."""
-    cin = x.shape[-1]
+    VMEM — large-feature-map configs fall through to the unfused path.
+
+    ``shape`` overrides the shape the convs will actually see (the
+    up/down BigGAN blocks resample between GN_0 and Conv_0, so their
+    fused convs run at 4x / 0.25x the input's spatial area)."""
+    shape = shape or x.shape
+    cin = shape[-1]
     if not (fused_resblock_enabled() and cin % 128 == 0 and out_ch % 128 == 0):
         return False
-    worst = (x.shape[0], x.shape[1], x.shape[2], max(cin, out_ch))
+    worst = (shape[0], shape[1], shape[2], max(cin, out_ch))
     return pallas_conv_fits(worst, out_ch, x.dtype.itemsize, "valid9",
                             fused=True, has_pre=True, has_skip=True)
 

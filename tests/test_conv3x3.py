@@ -352,3 +352,54 @@ def test_fused_pre_act_none_and_invalid():
 
     with pytest.raises(ValueError, match="pre_act"):
         conv3x3_gn_pallas(x, wt, pre=(pw, pb), pre_act="relu")
+
+
+def test_biggan_updown_resblock_fused_equals_off(monkeypatch):
+    """The up/down BigGAN blocks' partially-fused path (GN_0 standalone —
+    the resample sits between its SiLU and Conv_0 — then stats-emitting
+    Conv_0 + fused GN_1/Conv_1/skip) must match the unfused forward, for
+    both resample directions and both FIR modes."""
+    from naturaldiffusion_tpu.models import layers as L
+    from naturaldiffusion_tpu.ops import conv3x3 as pconv
+    calls = []
+    real = pconv.conv3x3_gn_pallas
+    monkeypatch.setattr(pconv, "conv3x3_gn_pallas",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    for up, down in [(True, False), (False, True)]:
+        for fir in (False, True):
+            blk = L.ResnetBlockBigGANpp(out_ch=128, up=up, down=down,
+                                        fir=fir, dropout=0.0,
+                                        skip_rescale=True)
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+            params = blk.init(jax.random.PRNGKey(2), x, temb)["params"]
+            monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+            want = blk.apply({"params": params}, x, temb)
+            n_before = len(calls)
+            monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+            got = blk.apply({"params": params}, x, temb)
+            assert len(calls) == n_before + 2   # Conv_0(stats) + Conv_1
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=0, atol=5e-5)
+
+
+def test_full_biggan_model_fused_equals_off(monkeypatch):
+    """Whole-model check at the bench config's shape grammar (biggan
+    resblocks, resamples at every level transition): NATDIFF_PALLAS_CONV=2
+    must now cover the up/down blocks too and still match the XLA model."""
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+
+    cfg = NCSNppConfig(image_size=16, num_channels=3, nf=128,
+                       ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(8,), dropout=0.0)
+    model = NCSNpp(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    t = jnp.full((2,), 500.0)
+    params = model.init(jax.random.PRNGKey(1), x, t)["params"]
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    want = model.apply({"params": params}, x, t)
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    got = model.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=5e-4)
