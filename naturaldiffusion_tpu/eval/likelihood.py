@@ -20,9 +20,15 @@ from ..samplers.rk45 import rk45_integrate
 
 def get_div_fn(drift_fn: Callable):
     """divergence via jvp against a probe vector (``likelihood.py:26-35``)."""
+    from ..ops.conv3x3 import xla_conv_only
+
     def div_fn(x, t, eps):
         eps = eps.astype(x.dtype)  # integrator state may be wider (x64)
-        _, jvp = jax.jvp(lambda y: drift_fn(y, t), (x,), (eps,))
+        # forward-mode cannot cross the custom-VJP Pallas conv, so only
+        # THIS trace pins to the XLA convs; the integrator's direct
+        # drift_fn evaluations keep whatever NATDIFF_PALLAS_CONV selects
+        with xla_conv_only():
+            _, jvp = jax.jvp(lambda y: drift_fn(y, t), (x,), (eps,))
         return jnp.sum((jvp * eps).reshape(x.shape[0], -1), axis=-1)
     return div_fn
 
@@ -44,15 +50,6 @@ def get_likelihood_fn(sde: SDE, score_fn, *, hutchinson_type: str = "rademacher"
     div_fn = get_div_fn(drift_fn)
 
     def likelihood_fn(key, data):
-        # the Hutchinson divergence runs jax.jvp through the model; the
-        # Pallas conv flag path is custom_vjp-only (no forward-mode rule),
-        # so pin this trace to the XLA convs regardless of
-        # NATDIFF_PALLAS_CONV
-        from ..ops.conv3x3 import xla_conv_only
-        with xla_conv_only():
-            return _likelihood_body(key, data)
-
-    def _likelihood_body(key, data):
         shape = data.shape
         b = shape[0]
         if hutchinson_type == "gaussian":

@@ -298,6 +298,35 @@ class Combine(nn.Module):
         raise ValueError(self.method)
 
 
+def _fused_gn_conv0(x, out_ch: int):
+    """Head of the fused-resblock form, shared by every resblock family:
+    GN_0's normalize-affine collapses to per-(sample,channel) coefficients
+    that ride Conv_0's prologue (with its SiLU), and Conv_0 emits GN_1's
+    channel statistics from its resident f32 accumulator."""
+    gn0 = group_norm(x.shape[-1], name="GroupNorm_0", dtype=x.dtype,
+                     act="silu")
+    w0, b0 = gn0(x, coeffs_only=True)
+    return conv3x3(out_ch, name="Conv_0")(x, pre=(w0, b0), pre_act=gn0.act,
+                                          emit_stats=True)
+
+
+def _fused_resblock_tail(h, s1, s2, temb, tb, xs, out_ch: int,
+                         init_scale: float, skip_rescale: bool):
+    """Tail of the fused-resblock form, shared by every resblock family:
+    the temb projection enters GN_1's affine algebraically, GN_1+SiLU ride
+    Conv_1's prologue, and the skip-add (+1/sqrt2) is Conv_1's epilogue.
+    Submodule names match the unfused path (same checkpoint mapping)."""
+    if tb is None and temb is not None:
+        tb = nn.Dense(out_ch, kernel_init=default_init(),
+                      bias_init=jax.nn.initializers.zeros,
+                      name="Dense_0")(nn.silu(temb))
+    gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype, act="silu")
+    w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2), coeffs_only=True)
+    return conv3x3(out_ch, init_scale=init_scale, name="Conv_1")(
+        h, pre=(w1, b1), pre_act=gn1.act, skip=xs.astype(h.dtype),
+        skip_rescale=skip_rescale)
+
+
 class ResnetBlockDDPMpp(nn.Module):
     """(``layerspp.py:162-206``)."""
     out_ch: int | None = None
@@ -314,29 +343,17 @@ class ResnetBlockDDPMpp(nn.Module):
 
         from ..ops.conv3x3 import fused_resblock_ok
         if fused_resblock_ok(x, out_ch) and deterministic:
-            # NATDIFF_PALLAS_CONV=2 — same two-fused-kernels form as the
-            # BigGAN block below (see that branch for the mechanism)
-            gn0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
-                             act="silu")
-            w0, b0 = gn0(x, coeffs_only=True)
-            h, s1, s2 = conv3x3(out_ch, name="Conv_0")(
-                x, pre=(w0, b0), pre_act=gn0.act, emit_stats=True)
-            if tb is None and temb is not None:
-                tb = nn.Dense(out_ch, kernel_init=default_init(),
-                              bias_init=jax.nn.initializers.zeros,
-                              name="Dense_0")(act(temb))
-            gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
-                             act="silu")
-            w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2), coeffs_only=True)
+            # NATDIFF_PALLAS_CONV=2 — the whole block as two fused kernels
+            # (see _fused_gn_conv0/_fused_resblock_tail); dropout is
+            # inference-identity here (deterministic gate above)
+            h, s1, s2 = _fused_gn_conv0(x, out_ch)
             if in_ch != out_ch:
                 xs = (conv3x3(out_ch, name="Conv_2")(x)
                       if self.conv_shortcut else NIN(out_ch, name="NIN_0")(x))
             else:
                 xs = x
-            return conv3x3(out_ch, init_scale=self.init_scale,
-                           name="Conv_1")(h, pre=(w1, b1), pre_act=gn1.act,
-                                          skip=xs.astype(h.dtype),
-                                          skip_rescale=self.skip_rescale)
+            return _fused_resblock_tail(h, s1, s2, temb, tb, xs, out_ch,
+                                        self.init_scale, self.skip_rescale)
 
         h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
                        act="silu")(x)
@@ -407,48 +424,20 @@ class ResnetBlockBigGANpp(nn.Module):
                         h = nn.avg_pool(h, (2, 2), strides=(2, 2))
                         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 h, s1, s2 = conv3x3(out_ch, name="Conv_0")(h, emit_stats=True)
-                if tb is None and temb is not None:
-                    tb = nn.Dense(out_ch, kernel_init=default_init(),
-                                  bias_init=jax.nn.initializers.zeros,
-                                  name="Dense_0")(act(temb))
-                gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
-                                 act="silu")
-                w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2),
-                             coeffs_only=True)
                 xs = conv1x1(out_ch, name="Conv_2")(x)
-                return conv3x3(out_ch, init_scale=self.init_scale,
-                               name="Conv_1")(h, pre=(w1, b1),
-                                              pre_act=gn1.act,
-                                              skip=xs.astype(h.dtype),
-                                              skip_rescale=self.skip_rescale)
+                return _fused_resblock_tail(h, s1, s2, temb, tb, xs, out_ch,
+                                            self.init_scale,
+                                            self.skip_rescale)
 
         if (fused_resblock_ok(x, out_ch) and not self.up and not self.down
                 and deterministic):
-            # NATDIFF_PALLAS_CONV=2: the whole block as two fused kernels.
-            # GN_0+SiLU ride Conv_0's prologue (normalized x never touches
-            # HBM), Conv_0 emits GN_1's channel sums from its resident f32
-            # accumulator (the temb bias enters algebraically), GN_1+SiLU
-            # ride Conv_1's prologue, and the skip-add (+1/sqrt2) is
-            # Conv_1's epilogue.  Dropout is inference-identity here
-            # (deterministic gate above).  Param set/names identical to the
-            # unfused path — same checkpoint mapping.
-            gn0 = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
-                             act="silu")
-            w0, b0 = gn0(x, coeffs_only=True)
-            h, s1, s2 = conv3x3(out_ch, name="Conv_0")(
-                x, pre=(w0, b0), pre_act=gn0.act, emit_stats=True)
-            if tb is None and temb is not None:
-                tb = nn.Dense(out_ch, kernel_init=default_init(),
-                              bias_init=jax.nn.initializers.zeros,
-                              name="Dense_0")(act(temb))
-            gn1 = group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype,
-                             act="silu")
-            w1, b1 = gn1(h, extra_bias=tb, stats=(s1, s2), coeffs_only=True)
+            # NATDIFF_PALLAS_CONV=2: the whole block as two fused kernels
+            # (see _fused_gn_conv0/_fused_resblock_tail); dropout is
+            # inference-identity here (deterministic gate above)
+            h, s1, s2 = _fused_gn_conv0(x, out_ch)
             xs = x if in_ch == out_ch else conv1x1(out_ch, name="Conv_2")(x)
-            return conv3x3(out_ch, init_scale=self.init_scale,
-                           name="Conv_1")(h, pre=(w1, b1), pre_act=gn1.act,
-                                          skip=xs.astype(h.dtype),
-                                          skip_rescale=self.skip_rescale)
+            return _fused_resblock_tail(h, s1, s2, temb, tb, xs, out_ch,
+                                        self.init_scale, self.skip_rescale)
 
         h = group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype,
                        act="silu")(x)

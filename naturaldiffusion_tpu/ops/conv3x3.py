@@ -188,19 +188,16 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
     o_ref[:] = acc.astype(o_ref.dtype).reshape(nb, hh, ww, cout)
 
 
-def _pick_block_batch(b, hh, ww, cin, cout, itemsize, variant="taps9"):
-    """Largest divisor of ``b`` whose working set fits the VMEM budget."""
-    per_img = (
-        2 * (hh + 2) * (ww + 2) * cin * itemsize   # in block, double-buffered
-        + 2 * hh * ww * cout * itemsize            # out block, double-buffered
-        + hh * ww * cout * 4                       # f32 accumulator
-    )
-    if variant == "kstack":
-        per_img += hh * ww * 3 * cin * itemsize    # dx-concat staging buffer
-    cap = max(1, _VMEM_BUDGET // per_img)
+def _pick_block_batch(b, hh, ww, cin, cout, itemsize, variant="taps9", *,
+                      fused=False, has_pre=False, has_skip=False):
+    """Largest divisor of ``b`` whose working set (the SAME model the
+    eligibility gate uses — :func:`_working_set_bytes`, with this call's
+    actual fused/pre/skip configuration) fits the VMEM budget."""
     nb = 1
-    for d in range(1, b + 1):
-        if b % d == 0 and d <= cap:
+    for d in range(2, b + 1):
+        if b % d == 0 and _working_set_bytes(
+                d, hh, ww, cin, cout, itemsize, variant, fused=fused,
+                has_pre=has_pre, has_skip=has_skip) <= _VMEM_BUDGET:
             nb = d
     return nb
 
@@ -431,6 +428,76 @@ def _cp_fused(has_bias, has_pre, has_skip, skip_rescale, emit_stats,
     return _cp_wrap(raw, tuple(batch_idx), out_specs, rule)
 
 
+def _fused_reference_xla(arrays, *, has_bias, has_pre, has_skip,
+                         skip_rescale, emit_stats, pre_act):
+    """Pure-XLA twin of the fused kernel (same arg packing, same output
+    structure, f32 accumulation).  Used as the autodiff oracle: the fused
+    op's custom VJP differentiates THIS, so reverse-mode callers (e.g.
+    gradient-guided sampling with the flag set) get correct gradients
+    instead of an opaque missing-AD-rule error from the raw pallas_call."""
+    it = iter(arrays)
+    x = next(it)
+    w = next(it)
+    b = next(it) if has_bias else None
+    pre = (next(it), next(it)) if has_pre else None
+    skip = next(it) if has_skip else None
+    xin = x
+    if pre is not None:
+        xf = x.astype(jnp.float32) * pre[0][:, None, None, :] \
+            + pre[1][:, None, None, :]
+        if pre_act == "silu":
+            xf = xf * jax.nn.sigmoid(xf)
+        xin = xf.astype(x.dtype)
+    at = jnp.promote_types(xin.dtype, jnp.float32)  # f32 accumulation
+    acc = jax.lax.conv_general_dilated(
+        xin, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=at)
+    if b is not None:
+        acc = acc + b.astype(at)
+    if skip is not None:
+        acc = acc + skip.astype(at)
+        if skip_rescale:
+            acc = acc * jnp.asarray(0.7071067811865476, at)
+    y = acc.astype(x.dtype)
+    if not emit_stats:
+        return y
+    # mirror the kernel's output dtypes exactly (stats are f32 refs) so
+    # the custom-VJP cotangent structures line up under x64 too
+    flat = acc.reshape(acc.shape[0], -1, acc.shape[-1])
+    return (y, jnp.sum(flat, axis=1).astype(jnp.float32),
+            jnp.sum(flat * flat, axis=1).astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_with_vjp(has_bias, has_pre, has_skip, skip_rescale, emit_stats,
+                    pre_act, interpret):
+    """The fused kernel behind a custom VJP: forward is the Pallas call
+    (via its DP-aware custom_partitioning), backward differentiates the
+    XLA reference recompute.  The fused path is dispatched on inference
+    hot paths, so the backward's extra recompute only ever runs when a
+    caller differentiates a deterministic forward anyway."""
+    cp = _cp_fused(has_bias, has_pre, has_skip, skip_rescale, emit_stats,
+                   pre_act, interpret)
+    ref = functools.partial(
+        _fused_reference_xla, has_bias=has_bias, has_pre=has_pre,
+        has_skip=has_skip, skip_rescale=skip_rescale,
+        emit_stats=emit_stats, pre_act=pre_act)
+
+    @jax.custom_vjp
+    def f(*arrays):
+        return cp(*arrays)
+
+    def fwd(*arrays):
+        return cp(*arrays), arrays
+
+    def bwd(arrays, g):
+        _, pullback = jax.vjp(lambda *a: ref(a), *arrays)
+        return pullback(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def conv3x3_gn_pallas(x, w, b=None, *, pre=None, pre_act="silu", skip=None,
                       skip_rescale=False, emit_stats=False, interpret=None):
     """Fused resblock conv: ``y = conv3x3(act(x*pre_w + pre_b)) [+ b]
@@ -476,9 +543,9 @@ def conv3x3_gn_pallas(x, w, b=None, *, pre=None, pre_act="silu", skip=None,
         args += [pw.astype(jnp.float32), pb.astype(jnp.float32)]
     if skip is not None:
         args.append(skip)
-    cp = _cp_fused(b is not None, pre is not None, skip is not None,
-                   skip_rescale, emit_stats, pre_act, interpret)
-    return cp(*args)
+    f = _fused_with_vjp(b is not None, pre is not None, skip is not None,
+                        skip_rescale, emit_stats, pre_act, interpret)
+    return f(*args)
 
 
 def _pallas_fused_call(arrays, *, has_bias, has_pre, has_skip, skip_rescale,
@@ -493,7 +560,8 @@ def _pallas_fused_call(arrays, *, has_bias, has_pre, has_skip, skip_rescale,
     cout = w.shape[-1]
 
     nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize,
-                           "valid9")
+                           "valid9", fused=True, has_pre=pre is not None,
+                           has_skip=skip is not None)
     grid = (bsz // nb,)
 
     args, in_specs = [x, w], [

@@ -403,3 +403,42 @@ def test_full_biggan_model_fused_equals_off(monkeypatch):
     got = model.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=5e-4)
+
+
+def test_fused_resblock_grad_falls_back_to_xla(monkeypatch):
+    """Reverse-mode AD through the fused path (e.g. gradient-guided
+    sampling of a deterministic forward) must produce the unfused
+    gradients via the custom-VJP XLA recompute, not crash in Mosaic."""
+    from naturaldiffusion_tpu.models.layers import ResnetBlockBigGANpp
+
+    blk = ResnetBlockBigGANpp(out_ch=128, dropout=0.0, skip_rescale=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    params = blk.init(jax.random.PRNGKey(2), x, temb)["params"]
+
+    def loss(z):
+        return jnp.sum(blk.apply({"params": params}, z, temb) ** 2)
+
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+    want = jax.grad(loss)(x)
+    monkeypatch.setenv("NATDIFF_PALLAS_CONV", "2")
+    got = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_pick_block_batch_respects_fused_working_set():
+    """The block-batch picker must budget the FUSED working set (skip
+    double-buffer + f32 prologue temp), not the plain conv's — otherwise
+    large local batches compile working sets past VMEM on chip."""
+    from naturaldiffusion_tpu.ops.conv3x3 import (_pick_block_batch,
+                                                  _working_set_bytes,
+                                                  _VMEM_BUDGET)
+    for itemsize in (2, 4):
+        for kw in ({"fused": True, "has_pre": True, "has_skip": True},
+                   {"fused": False}):
+            nb = _pick_block_batch(56, 16, 16, 256, 256, itemsize,
+                                   "valid9", **kw)
+            assert 56 % nb == 0
+            assert _working_set_bytes(nb, 16, 16, 256, 256, itemsize,
+                                      "valid9", **kw) <= _VMEM_BUDGET
