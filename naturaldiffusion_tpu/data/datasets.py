@@ -46,10 +46,14 @@ def cifar10_iterator(data_dir: str, batch_size: int, *,
     scaler = get_scaler(centered)
 
     def gen():
-        while True:
-            images, labels = loader.next_batch(batch_size,
-                                               random_flip=random_flip)
-            yield scaler(images), labels
+        # native double-buffer prefetch: the NEXT batch's gather/dequantize
+        # runs on the loader's C++ worker while the trainer steps on this
+        # one; the yielded arrays must not alias the rotating prefetch
+        # buffers (centered's scaler allocates; uncentered copies)
+        for images, labels in loader.prefetch_batches(
+                batch_size, random_flip=random_flip):
+            yield (scaler(images) if centered else images.copy()), \
+                labels.copy()
 
     return gen()
 

@@ -28,8 +28,8 @@ def _build() -> str | None:
         return cache
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", cache + ".tmp"],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             _SRC, "-o", cache + ".tmp"],
             check=True, capture_output=True)
         os.replace(cache + ".tmp", cache)
         return cache
@@ -63,6 +63,12 @@ class NativeBatchLoader:
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8)]
+            lib.bl_fill_batch_mt.argtypes = lib.bl_fill_batch.argtypes + [
+                ctypes.c_int]
+            lib.bl_submit.restype = ctypes.c_int
+            lib.bl_submit.argtypes = lib.bl_fill_batch.argtypes + [
+                ctypes.c_int]
+            lib.bl_wait.argtypes = [ctypes.c_void_p]
             lib.bl_close.argtypes = [ctypes.c_void_p]
             arr = (ctypes.c_char_p * len(paths))(
                 *[p.encode() for p in paths])
@@ -119,6 +125,56 @@ class NativeBatchLoader:
         flip = (self.rng.random(batch_size) < 0.5).astype(np.uint8) \
             if random_flip else None
         return self.gather(idx, flip)
+
+    def prefetch_batches(self, batch_size: int, *, random_flip: bool = True,
+                         n_threads: int = 4):
+        """Infinite batch generator with native double-buffer prefetch: the
+        next batch's gather/dequantize runs on the loader's C++ worker
+        thread (splitting records over ``n_threads``) while the caller
+        consumes the current one — the host side of the input pipeline
+        overlaps the device step instead of serializing with it.
+
+        Zero-copy contract: each yielded ``(images, labels)`` pair aliases
+        one of two rotating buffers and is overwritten TWO iterations
+        later; consume it (e.g. ``jax.device_put``) before then, or copy.
+        Batch composition is identical to ``next_batch`` (same RNG stream).
+        Falls back to the synchronous path on the numpy backend.
+        """
+        if not self._handle:
+            while True:
+                yield self.next_batch(batch_size, random_flip=random_flip)
+
+        h, w, c = self.shape
+        bufs = [(np.empty((batch_size, h, w, c), np.float32),
+                 np.empty((batch_size,), np.int32)) for _ in range(2)]
+
+        def submit(k):
+            idx = np.ascontiguousarray(
+                self.rng.integers(0, self._n, batch_size), np.int64)
+            flip = (self.rng.random(batch_size) < 0.5).astype(np.uint8) \
+                if random_flip else np.zeros(batch_size, np.uint8)
+            images, labels = bufs[k]
+            ok = self._lib.bl_submit(
+                self._handle,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                batch_size,
+                images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                flip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n_threads)
+            assert ok, "a prefetch job was already in flight"
+            # idx/flip may be freed now — bl_submit copies them into the
+            # job before returning; only the OUTPUT buffers must persist
+            return images, labels
+
+        k = 0
+        submit(k)
+        while True:
+            self._lib.bl_wait(self._handle)
+            ready = bufs[k]
+            k ^= 1
+            submit(k)
+            yield ready
 
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib:

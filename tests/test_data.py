@@ -121,3 +121,44 @@ def test_svhn_mat_loader_and_registry(tmp_path):
     # no data on disk -> synthetic fallback at the right shape
     x2, _ = next(get_dataset("svhn", 4, data_dir=None))
     assert x2.shape == (4, 32, 32, 3)
+
+
+def test_prefetch_batches_matches_sync_stream(cifar_bin):
+    """The async double-buffer prefetch must produce the exact batch stream
+    next_batch would (same RNG draws), for both backends."""
+    for force_numpy in (False, True):
+        pre = NativeBatchLoader(cifar_bin, seed=7, force_numpy=force_numpy)
+        # same backend for the reference stream: the native dequantize is
+        # x*(1/255) vs numpy's x/255 — 1-ulp apart, not the point here
+        ref = NativeBatchLoader(cifar_bin, seed=7, force_numpy=force_numpy)
+        it = pre.prefetch_batches(16, n_threads=3)
+        for _ in range(5):
+            img_a, lbl_a = next(it)
+            # copy before advancing: the generator overwrites its buffer
+            # two iterations later (documented zero-copy contract)
+            img_a, lbl_a = img_a.copy(), lbl_a.copy()
+            img_b, lbl_b = ref.next_batch(16)
+            np.testing.assert_array_equal(lbl_a, lbl_b)
+            np.testing.assert_allclose(img_a, img_b, rtol=0, atol=0)
+
+
+def test_fill_batch_mt_matches_single_thread(cifar_bin):
+    """The multithreaded fill (records split over a thread pool) must be
+    bit-identical to the single-threaded gather."""
+    nat = NativeBatchLoader(cifar_bin, seed=0)
+    if nat.backend != "native":
+        pytest.skip("no compiler in this environment")
+    import ctypes
+    idx = np.arange(40, dtype=np.int64)
+    flip = (np.arange(40) % 2).astype(np.uint8)
+    want = nat.gather(idx, flip)
+    img = np.empty((40, 32, 32, 3), np.float32)
+    lbl = np.empty((40,), np.int32)
+    nat._lib.bl_fill_batch_mt(
+        nat._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), 40,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(4))
+    np.testing.assert_array_equal(img, want[0])
+    np.testing.assert_array_equal(lbl, want[1])
