@@ -113,22 +113,33 @@ def parse_example(buf: bytes) -> dict:
 # -- TFRecord framing --------------------------------------------------------
 
 
+def _walk_frames(f) -> Iterator[tuple[int, int]]:
+    """The one framing walker: yields (payload_offset, payload_length) per
+    complete record.  Framing: u64le length, u32 length-crc, payload,
+    u32 payload-crc (crcs not verified — the reference pipeline doesn't
+    either once TF hands the bytes over).  A truncated tail record (file
+    cut mid-payload) is not yielded."""
+    end = f.seek(0, 2)
+    pos = 0
+    while True:
+        f.seek(pos)                  # absolute: consumers may seek/read
+        head = f.read(8)             # between yields
+        if len(head) < 8:
+            return
+        (length,) = struct.unpack("<Q", head)
+        off = pos + 8 + 4            # past the length word + length crc
+        if off + length + 4 > end:   # truncated tail
+            return
+        yield off, length
+        pos = off + length + 4       # past the payload + payload crc
+
+
 def iter_tfrecord(path: str) -> Iterator[bytes]:
-    """Yields raw record payloads.  Framing: u64le length, u32 length-crc,
-    payload, u32 payload-crc (crcs not verified — the reference pipeline
-    doesn't either once TF hands the bytes over)."""
+    """Yields raw record payloads."""
     with open(path, "rb") as f:
-        while True:
-            head = f.read(8)
-            if len(head) < 8:
-                return
-            (length,) = struct.unpack("<Q", head)
-            f.seek(4, 1)                 # length crc
-            payload = f.read(length)
-            if len(payload) < length:
-                return
-            f.seek(4, 1)                 # payload crc
-            yield payload
+        for off, length in _walk_frames(f):
+            f.seek(off)
+            yield f.read(length)
 
 
 def index_tfrecords(paths: list[str]) -> list[tuple[str, int, int]]:
@@ -138,29 +149,30 @@ def index_tfrecords(paths: list[str]) -> list[tuple[str, int, int]]:
     index = []
     for p in paths:
         with open(p, "rb") as f:
-            while True:
-                head = f.read(8)
-                if len(head) < 8:
-                    break
-                (length,) = struct.unpack("<Q", head)
-                f.seek(4, 1)                 # length crc
-                off = f.tell()
-                index.append((p, off, length))
-                f.seek(length + 4, 1)        # payload + payload crc
+            index.extend((p, off, length) for off, length in _walk_frames(f))
     return index
 
 
-def read_chw_image_record(path: str, offset: int, length: int) -> np.ndarray:
-    """One indexed record -> HWC uint8 (Example features: shape int64[3]
-    CHW, data raw bytes; ``datasets.py:152-158`` semantics incl. the
-    CHW->HWC transpose)."""
-    with open(path, "rb") as f:
-        f.seek(offset)
-        rec = f.read(length)
+def _decode_chw_record(rec: bytes) -> np.ndarray:
     ex = parse_example(rec)
     shape = tuple(int(s) for s in ex["shape"])
     data = np.frombuffer(ex["data"][0], np.uint8).reshape(shape)
     return np.transpose(data, (1, 2, 0))
+
+
+def read_chw_image_record(path: str, offset: int, length: int,
+                          file=None) -> np.ndarray:
+    """One indexed record -> HWC uint8 (Example features: shape int64[3]
+    CHW, data raw bytes; ``datasets.py:152-158`` semantics incl. the
+    CHW->HWC transpose).  Pass ``file`` (an open handle for ``path``) to
+    skip the per-record open — the training iterator keeps one persistent
+    handle per file."""
+    if file is not None:
+        file.seek(offset)
+        return _decode_chw_record(file.read(length))
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return _decode_chw_record(f.read(length))
 
 
 def load_chw_image_records(paths: list[str]) -> list[np.ndarray]:
@@ -190,12 +202,18 @@ def tfrecord_iterator(paths: list[str], batch_size: int, *,
     n = len(index)
     cached: dict[int, np.ndarray] = {}
     budget_left = int(cache_max_bytes)
+    # one persistent handle per file: with a corpus far larger than the
+    # cache (FFHQ-1024 ~220 GB vs the 2 GB default) nearly every record is
+    # a miss, and a per-record open/close would cost a syscall quartet per
+    # sample in the training hot loop
+    handles = {p: open(p, "rb") for p in paths}
 
     def load(i: int) -> np.ndarray:
         nonlocal budget_left
         if i in cached:
             return cached[i]
-        arr = read_chw_image_record(*index[i])
+        path, off, length = index[i]
+        arr = read_chw_image_record(path, off, length, file=handles[path])
         if arr.nbytes <= budget_left:
             cached[i] = arr
             budget_left -= arr.nbytes

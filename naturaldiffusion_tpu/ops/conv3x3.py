@@ -138,10 +138,10 @@ def pallas_conv_fits(shape, cout, itemsize, variant="valid9", *,
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
     nb = x_ref.shape[0]
     m = nb * hh * ww
-    acc = jnp.zeros((m, cout), jnp.float32)
     if variant == "taps9":
         # nine shallow dots, K = C_in: no data duplication, each tap is a
         # sublane-shifted view of the resident block
+        acc = jnp.zeros((m, cout), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 xs = x_ref[:, dy:dy + hh, dx:dx + ww, :].reshape(m, cin)
@@ -151,6 +151,7 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
         # three deep dots, K = 3*C_in: the dx taps concatenate on the lane
         # axis (VPU copies) so each dot amortizes its accumulator traffic
         # over a 3x deeper contraction
+        acc = jnp.zeros((m, cout), jnp.float32)
         for dy in range(3):
             row = x_ref[:, dy:dy + hh, :, :]
             xs = jnp.concatenate(

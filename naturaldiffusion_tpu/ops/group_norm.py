@@ -182,12 +182,16 @@ import os
 # (0.57ms vs 0.94ms at [512,32,32,128]) but loses in-model (0.182s vs 0.146s
 # per forward).  Default therefore = XLA formulation; the kernel stays
 # available for standard-layout callers via NATDIFF_PALLAS_GN=1.
-_FORCE_PALLAS = os.environ.get("NATDIFF_PALLAS_GN", "") == "1"
+def _force_pallas() -> bool:
+    # read per call (trace time), like the conv3x3 flags, so one process
+    # can A/B both paths (monkeypatch tests, in-process bench sweeps)
+    return os.environ.get("NATDIFF_PALLAS_GN", "") == "1"
 # statistics formulation for the XLA path: "5d" reduces the (B,H,W,G,gs)
 # view over (1,2,4) in one shot; "channel" does per-channel spatial sums
 # first (C lanes intact — the vectorization-friendly shape) and folds the
 # tiny [B,C] result per group on the side
-_STATS_MODE = os.environ.get("NATDIFF_GN_STATS", "channel")
+def _stats_mode() -> str:
+    return os.environ.get("NATDIFF_GN_STATS", "channel")
 # Producer-fusion barrier.  Measured bench.py A/B (v5e, micro=64, r3):
 #   barrier=1 stats=5d      698.0 img/s   (the r2 configuration)
 #   barrier=1 stats=channel 698.5         (formulation alone: a wash)
@@ -201,9 +205,10 @@ _STATS_MODE = os.environ.get("NATDIFF_GN_STATS", "channel")
 # => the stats pass only needed splitting because of HOW it reduced; with
 # C kept on the lanes the epilogue fusion is free and the barrier is pure
 # loss.  Default: no barrier for "channel", barrier for "5d".
-_BARRIER = os.environ.get(
-    "NATDIFF_GN_BARRIER",
-    "0" if _STATS_MODE == "channel" else "1") == "1"
+def _use_barrier() -> bool:
+    return os.environ.get(
+        "NATDIFF_GN_BARRIER",
+        "0" if _stats_mode() == "channel" else "1") == "1"
 
 
 def group_norm_xla_channel(x, scale, bias, num_groups: int,
@@ -282,7 +287,7 @@ def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
     (there the group-axis reduce in the epilogue halves the conv's MXU
     rate — 75 vs 142 TFLOP/s on the batch-512 level-0 conv — and the
     barrier is a ~6% win)."""
-    if (_FORCE_PALLAS and jax.default_backend() == "tpu"
+    if (_force_pallas() and jax.default_backend() == "tpu"
             and _eligible(x, num_groups)):
         if extra_bias is not None and extra_bias.shape[0] != x.shape[0]:
             # schedule-hoisted temb projections arrive [1, C]; the kernel's
@@ -295,9 +300,9 @@ def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
         # fold the temb projection into the producer fusion, not the GN
         x = x + extra_bias.astype(x.dtype)[:, None, None, :]
     if jax.default_backend() == "tpu":
-        if _BARRIER:
+        if _use_barrier():
             x = jax.lax.optimization_barrier(x)
-        if _STATS_MODE == "channel":
+        if _stats_mode() == "channel":
             return group_norm_xla_channel(x, scale, bias, num_groups,
                                           eps=eps, act=act)
     return group_norm_reference(x, scale, bias, num_groups, eps=eps, act=act)
