@@ -169,12 +169,21 @@ class NativeBatchLoader:
 
         k = 0
         submit(k)
-        while True:
-            self._lib.bl_wait(self._handle)
-            ready = bufs[k]
-            k ^= 1
-            submit(k)
-            yield ready
+        try:
+            while True:
+                self._lib.bl_wait(self._handle)
+                ready = bufs[k]
+                k ^= 1
+                submit(k)
+                yield ready
+        finally:
+            # A job is ALWAYS in flight at this point, and it writes into
+            # ``bufs`` — which die with this generator frame.  Drain it
+            # before the frame is torn down, or the C++ worker scribbles
+            # over freed heap (observed: later abort/segv in teardown).
+            # Generator finalization runs this before releasing locals.
+            if self._handle:
+                self._lib.bl_wait(self._handle)
 
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib:

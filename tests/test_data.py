@@ -142,6 +142,45 @@ def test_prefetch_batches_matches_sync_stream(cifar_bin):
             np.testing.assert_allclose(img_a, img_b, rtol=0, atol=0)
 
 
+def test_prefetch_teardown_drains_inflight_job(cifar_bin):
+    """Dropping the prefetch generator (and the loader) with a job in
+    flight must drain the job before the generator frame's buffers are
+    freed — the C++ worker otherwise writes into freed heap (observed as
+    a later abort inside ``bl_close`` when the suite ran under load).
+    Subprocess, because the failure mode is a hard crash."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import gc, sys\n"
+        "import numpy as np\n"
+        "from naturaldiffusion_tpu.data.native_loader import"
+        " NativeBatchLoader\n"
+        "paths = sys.argv[1:]\n"
+        "for trial in range(10):\n"
+        "    ld = NativeBatchLoader(paths, seed=trial)\n"
+        "    if ld.backend != 'native':\n"
+        "        print('SKIP'); sys.exit(0)\n"
+        "    it = ld.prefetch_batches(64, n_threads=2)\n"
+        "    next(it); next(it)\n"
+        "    del it, ld\n"                      # job in flight right here
+        "    gc.collect()\n"
+        "    junk = [np.empty(64 * 32 * 32 * 3, np.float32)"
+        " for _ in range(4)]\n"
+        "    junk[0][:] = 1.0\n"                # churn the freed heap
+        "    del junk\n"
+        "print('SURVIVED')\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))            # repo root only — no jax
+    r = subprocess.run([sys.executable, "-c", code, *cifar_bin],
+                       capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0 and ("SURVIVED" in r.stdout
+                                  or "SKIP" in r.stdout), \
+        (r.returncode, r.stdout[-500:], r.stderr[-500:])
+
+
 def test_fill_batch_mt_matches_single_thread(cifar_bin):
     """The multithreaded fill (records split over a thread pool) must be
     bit-identical to the single-threaded gather."""
