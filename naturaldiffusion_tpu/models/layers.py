@@ -106,12 +106,17 @@ class PConv3x3(nn.Module):
             return pconv.conv3x3_gn_pallas(
                 x, kernel, bias, pre=pre, pre_act=pre_act, skip=skip,
                 skip_rescale=skip_rescale, emit_stats=emit_stats)
-        variant = pconv.default_variant()
         if (pconv.pallas_conv_enabled()
-                and cin % 128 == 0 and self.features % 128 == 0
-                and pconv.pallas_conv_fits(x.shape, self.features,
-                                           x.dtype.itemsize, variant)):
-            return pconv.conv3x3_pallas(x, kernel, bias, variant=variant)
+                and cin % 128 == 0 and self.features % 128 == 0):
+            for variant in (pconv.default_variant(),
+                            pconv.tiled_variant()):
+                # whole-image grid first; the halo-tiled variant covers
+                # the large feature maps (celebahq-256/FFHQ-class) whose
+                # per-image working set exceeds VMEM
+                if pconv.pallas_conv_fits(x.shape, self.features,
+                                          x.dtype.itemsize, variant):
+                    return pconv.conv3x3_pallas(x, kernel, bias,
+                                                variant=variant)
         return pconv.conv3x3_xla(x, kernel, bias)
 
 

@@ -97,6 +97,14 @@ def default_variant() -> str:
     forms (no jnp.pad pre-pass)."""
     return os.environ.get("NATDIFF_CONV_VARIANT", "valid9")
 
+
+def tiled_variant() -> str:
+    """Large-feature-map formulation (``NATDIFF_CONV_TILED``): ``tiled``
+    (manual-DMA halo scratch, serial fetch) or ``tiledew`` (Mosaic
+    element-window halo, double-buffered fetch by the pipeline emitter);
+    chip A/B via ``apps/bench_conv.py`` decides the default."""
+    return os.environ.get("NATDIFF_CONV_TILED", "tiled")
+
 # per-grid-step VMEM budget for (double-buffered input + output) + f32
 # accumulator + weights; v5e has ~16MB of VMEM per core
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -130,9 +138,45 @@ def pallas_conv_fits(shape, cout, itemsize, variant="valid9", *,
     gate that keeps large-feature-map configs (e.g. celebahq-256 level-0
     maps) on the XLA conv instead of failing Mosaic VMEM allocation."""
     _, hh, ww, cin = shape
+    if variant in ("tiled", "tiledew"):
+        return _pick_tile_rows(hh, ww, cin, cout, itemsize,
+                               variant) is not None
     return _working_set_bytes(1, hh, ww, cin, cout, itemsize, variant,
                               fused=fused, has_pre=has_pre,
                               has_skip=has_skip) <= _VMEM_FIT
+
+
+def _tiled_working_set(th, ww, cin, cout, itemsize):
+    """VMEM bytes for one (batch=1, H-tile=th) grid step of the tiled
+    variant: manually-DMA'd halo scratch (single-buffered), pipelined
+    output block (double-buffered), f32 accumulator, resident weights."""
+    return ((th + 2) * ww * cin * itemsize
+            + 2 * th * ww * cout * itemsize
+            + th * ww * cout * 4
+            + 9 * cin * cout * itemsize)
+
+
+def _tiledew_working_set(th, ww, cin, cout, itemsize):
+    """VMEM bytes for one grid step of the element-window variant: the
+    pipeline emitter double-buffers the overlapping (th+2)-row input
+    window, plus the edge-masked copy, double-buffered output, f32
+    accumulator, resident weights."""
+    return (2 * (th + 2) * ww * cin * itemsize
+            + (th + 2) * ww * cin * itemsize
+            + 2 * th * ww * cout * itemsize
+            + th * ww * cout * 4
+            + 9 * cin * cout * itemsize)
+
+
+def _pick_tile_rows(hh, ww, cin, cout, itemsize, variant="tiled"):
+    """Largest H-tile (a divisor of H, at least 2 tiles) whose tiled
+    working set fits the budget; None if even a 1-row tile does not."""
+    ws = _tiledew_working_set if variant == "tiledew" else _tiled_working_set
+    best = None
+    for th in range(1, hh // 2 + 1):
+        if hh % th == 0 and ws(th, ww, cin, cout, itemsize) <= _VMEM_BUDGET:
+            best = th
+    return best
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
@@ -296,9 +340,197 @@ def _forward(x, w, b, interpret, variant):
     return cp(x, w, b) if b is not None else cp(x, w)
 
 
+def _conv_tiled_kernel(x_any, w_ref, b_ref, o_ref, scratch, sem, *,
+                       hh, ww, cin, cout, th, n_tiles):
+    """Spatially-tiled valid9: the input stays in HBM (ANY); each grid
+    step DMAs its H-tile plus a one-row halo on each side into a VMEM
+    scratch (image-edge halo rows zeroed — SAME padding), then runs the
+    nine-tap accumulation.  H needs no output-slice shifting (the halo
+    absorbs it); W uses the valid-region trick."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _first():
+        scratch[0] = jnp.zeros((ww, cin), scratch.dtype)
+        dma = pltpu.make_async_copy(
+            x_any.at[bi, pl.ds(0, th + 1)],
+            scratch.at[pl.ds(1, th + 1)], sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(ti == n_tiles - 1)
+    def _last():
+        dma = pltpu.make_async_copy(
+            x_any.at[bi, pl.ds(hh - th - 1, th + 1)],
+            scratch.at[pl.ds(0, th + 1)], sem)
+        dma.start()
+        dma.wait()
+        scratch[th + 1] = jnp.zeros((ww, cin), scratch.dtype)
+
+    @pl.when(jnp.logical_and(ti > 0, ti < n_tiles - 1))
+    def _interior():
+        dma = pltpu.make_async_copy(
+            x_any.at[bi, pl.ds(ti * th - 1, th + 2)], scratch, sem)
+        dma.start()
+        dma.wait()
+
+    acc = jnp.zeros((th, ww, cout), jnp.float32)
+    for dy in range(3):
+        rows = scratch[dy:dy + th]
+        for dx in range(3):
+            ix0, ix1 = max(0, dx - 1), ww + min(0, dx - 1)
+            ox0, ox1 = max(0, 1 - dx), ww + min(0, 1 - dx)
+            mw = ix1 - ix0
+            part = jnp.dot(rows[:, ix0:ix1, :].reshape(th * mw, cin),
+                           w_ref[dy, dx], preferred_element_type=jnp.float32)
+            acc = acc + jnp.pad(part.reshape(th, mw, cout),
+                                ((0, 0), (ox0, ww - ox1), (0, 0)))
+    if b_ref is not None:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _pallas_conv_tiled_call(x, w, b, interpret):
+    bsz, hh, ww, cin = x.shape
+    cout = w.shape[-1]
+    th = _pick_tile_rows(hh, ww, cin, cout, x.dtype.itemsize)
+    if th is None:
+        raise ValueError(
+            f"tiled conv3x3 working set for {x.shape}->{cout} exceeds VMEM "
+            "even at 1-row tiles; use conv3x3_xla")
+    n_tiles = hh // th
+    grid = (bsz, n_tiles)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),          # full input, HBM
+        pl.BlockSpec((3, 3, cin, cout), lambda bi, ti: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((1, cout), lambda bi, ti: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b.reshape(1, cout))
+
+    def kern(*refs):
+        if b is not None:
+            x_any, w_ref, b_ref, o_ref, scratch, sem = refs
+        else:
+            x_any, w_ref, o_ref, scratch, sem = refs
+            b_ref = None
+        _conv_tiled_kernel(x_any, w_ref, b_ref, o_ref, scratch, sem,
+                           hh=hh, ww=ww, cin=cin, cout=cout, th=th,
+                           n_tiles=n_tiles)
+
+    flops = 2 * bsz * hh * ww * 9 * cin * cout
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, ww, cout),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hh, ww, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th + 2, ww, cin), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + w.size * w.dtype.itemsize
+            + bsz * hh * ww * cout * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def _conv_tiledew_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout,
+                         th):
+    """Element-window tiled valid9: ``x_ref`` is an OVERLAPPING
+    (th+2)-row window (Mosaic ``#tpu.element_window``, double-buffered by
+    the XLA pipeline emitter) whose out-of-image halo rows arrive as
+    garbage — one predicated ``where`` zeroes them (SAME padding), then
+    the nine-tap valid-region accumulation runs as in the manual-DMA
+    variant."""
+    ti = pl.program_id(1)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+            + ti * th - 1)
+    valid = (rows >= 0) & (rows < hh)
+    xw = jnp.where(valid, x_ref[...], jnp.zeros((), x_ref.dtype))
+    acc = jnp.zeros((th, ww, cout), jnp.float32)
+    for dy in range(3):
+        rows_d = xw[dy:dy + th]
+        for dx in range(3):
+            ix0, ix1 = max(0, dx - 1), ww + min(0, dx - 1)
+            ox0, ox1 = max(0, 1 - dx), ww + min(0, 1 - dx)
+            mw = ix1 - ix0
+            part = jnp.dot(rows_d[:, ix0:ix1, :].reshape(th * mw, cin),
+                           w_ref[dy, dx], preferred_element_type=jnp.float32)
+            acc = acc + jnp.pad(part.reshape(th, mw, cout),
+                                ((0, 0), (ox0, ww - ox1), (0, 0)))
+    if b_ref is not None:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _pallas_conv_tiledew_call(x, w, b, interpret):
+    bsz, hh, ww, cin = x.shape
+    cout = w.shape[-1]
+    th = _pick_tile_rows(hh, ww, cin, cout, x.dtype.itemsize, "tiledew")
+    if th is None:
+        raise ValueError(
+            f"tiledew conv3x3 working set for {x.shape}->{cout} exceeds "
+            "VMEM even at 1-row tiles; use conv3x3_xla")
+    n_tiles = hh // th
+
+    # index offsets for Element dims are in PADDED-array coordinates, so
+    # tile ti's window [ti*th, ti*th + th+2) covers original rows
+    # [ti*th - 1, ti*th + th + 1) — the one-row halo on each side
+    in_specs = [
+        pl.BlockSpec((None, pl.Element(th + 2, (1, 1)), pl.Element(ww),
+                      pl.Element(cin)),
+                     lambda bi, ti: (bi, ti * th, 0, 0)),
+        pl.BlockSpec((3, 3, cin, cout), lambda bi, ti: (0, 0, 0, 0)),
+    ]
+    args = [x, w]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)))
+        args.append(b.reshape(1, cout))
+
+    def kern(*refs):
+        if b is not None:
+            x_ref, w_ref, b_ref, o_ref = refs
+        else:
+            x_ref, w_ref, o_ref = refs
+            b_ref = None
+        _conv_tiledew_kernel(x_ref, w_ref, b_ref, o_ref, hh=hh, ww=ww,
+                             cin=cin, cout=cout, th=th)
+
+    flops = 2 * bsz * hh * ww * 9 * cin * cout
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, th, ww, cout),
+                               lambda bi, ti: (bi, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, hh, ww, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + w.size * w.dtype.itemsize
+            + bsz * hh * ww * cout * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
 def _pallas_conv_call(x, w, b, interpret, variant):
     bsz, hh, ww, cin = x.shape
     cout = w.shape[-1]
+    if variant == "tiled":
+        return _pallas_conv_tiled_call(x, w, b, interpret)
+    if variant == "tiledew":
+        return _pallas_conv_tiledew_call(x, w, b, interpret)
     pad = variant != "valid9"
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))) if pad else x
     nb = _pick_block_batch(bsz, hh, ww, cin, cout, x.dtype.itemsize, variant)

@@ -43,6 +43,32 @@ def test_bench_conv_toy(capsys):
     assert np.isfinite(rec["speedup"])
 
 
+def test_bench_conv_model_toy(monkeypatch):
+    """`bench_conv --model` (in-model conv-backend A/B) at a tiny
+    monkeypatched config: all four modes must produce a time, and the
+    env flags must be restored afterwards."""
+    from naturaldiffusion_tpu import configs
+    from naturaldiffusion_tpu.apps.bench_conv import bench_model
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNppConfig
+
+    tiny = configs.ExperimentConfig(
+        name="toy", model_family="ncsnpp",
+        model=NCSNppConfig(image_size=16, num_channels=3, nf=128,
+                           ch_mult=(1,), num_res_blocks=1,
+                           attn_resolutions=(), dropout=0.0),
+        training=configs.TrainingConfig(),
+        sampling=configs.SamplingConfig(),
+        data=configs.DataConfig(image_size=16))
+    monkeypatch.setattr(configs, "get_config", lambda name: tiny)
+    monkeypatch.delenv("NATDIFF_PALLAS_CONV", raising=False)
+
+    rec = bench_model("toy", batch=1, reps=1, runs=1)
+    for label in ("xla", "pallas_tiled", "pallas_tiledew", "pallas_fused"):
+        assert rec[f"{label}_ms"] > 0, rec
+    import os
+    assert os.environ.get("NATDIFF_PALLAS_CONV") is None
+
+
 @pytest.mark.parametrize("extra", [[], ["--no-mods"]],
                          ids=["mods", "no-mods"])
 def test_bench_dit_toy(capsys, extra):

@@ -242,26 +242,76 @@ def test_ddpm_resblock_fused_equals_off(monkeypatch):
 
 def test_vmem_gate_and_module_fallback(monkeypatch):
     """Shapes whose single-image working set exceeds VMEM must be rejected
-    by the op (clear error) and silently fall back to XLA at the module
-    dispatch (the celebahq-256 / LSUN level-0 maps)."""
-    from naturaldiffusion_tpu.models.layers import PConv3x3
-    from naturaldiffusion_tpu.ops.conv3x3 import pallas_conv_fits
+    by the whole-image variants (clear error) and dispatch to the
+    DMA-halo TILED variant at the module level (celebahq-256 / LSUN
+    level-0 maps); only pathological widths fall all the way to XLA."""
+    from naturaldiffusion_tpu.models import layers as L
+    from naturaldiffusion_tpu.ops import conv3x3 as pconv
 
-    assert pallas_conv_fits((64, 32, 32, 128), 128, 2)        # CIFAR resblock
-    assert not pallas_conv_fits((1, 256, 256, 128), 128, 2)   # celebahq-256
+    assert pconv.pallas_conv_fits((64, 32, 32, 128), 128, 2)  # CIFAR
+    # celebahq-256 level-0: whole-image no, halo-tiled yes (both forms)
+    assert not pconv.pallas_conv_fits((1, 256, 256, 128), 128, 2)
+    assert pconv.pallas_conv_fits((1, 256, 256, 128), 128, 2, "tiled")
+    assert pconv.pallas_conv_fits((1, 256, 256, 128), 128, 2, "tiledew")
 
     big = jnp.zeros((1, 256, 256, 128), jnp.bfloat16)
     wt = jnp.zeros((3, 3, 128, 128), jnp.bfloat16)
     with pytest.raises(ValueError, match="VMEM"):
-        conv3x3_pallas(big, wt)
+        conv3x3_pallas(big, wt)   # whole-image valid9: still a loud error
 
+    calls = []
+    real = pconv.conv3x3_pallas
+    monkeypatch.setattr(
+        pconv, "conv3x3_pallas",
+        lambda *a, **k: calls.append(k.get("variant")) or real(*a, **k))
     monkeypatch.setenv("NATDIFF_PALLAS_CONV", "1")
-    m = PConv3x3(128)
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128, 128))
+    m = L.PConv3x3(128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 128))
     params = m.init(jax.random.PRNGKey(1), x)["params"]
-    got = m.apply({"params": params}, x)      # falls through to XLA
+    got = m.apply({"params": params}, x)      # falls through to tiled
+    assert calls[-1] == "tiled" or pconv.pallas_conv_fits(
+        x.shape, 128, x.dtype.itemsize)
     want = conv3x3_xla(x, params["kernel"], params["bias"])
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["tiled", "tiledew"])
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 128, 128),
+    (1, 12, 4, 128, 256),     # tall/narrow, channel-raising
+    (3, 6, 5, 128, 128),      # odd W, batch 3
+])
+def test_tiled_variant_matches_xla(shape, variant):
+    """Halo-tiled valid9 (manual-DMA and element-window forms) == XLA
+    oracle, incl. the zeroed image-edge halo rows of the first/last
+    tiles."""
+    b, h, w, ci, co = shape
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (b, h, w, ci), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co),
+                           jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (co,), jnp.float32)
+    got = conv3x3_pallas(x, wt, bias, variant=variant)
+    want = conv3x3_xla(x, wt, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["tiled", "tiledew"])
+def test_tiled_variant_grads(variant):
+    """The custom VJP covers the tiled variants too."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 128))
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128)) * 0.05
+
+    def loss(fn):
+        return lambda xx, ww_: jnp.sum(fn(xx, ww_, None) ** 2)
+
+    g_t = jax.grad(loss(lambda *a: conv3x3_pallas(*a, variant=variant)),
+                   (0, 1))(x, wt)
+    g_x = jax.grad(loss(conv3x3_xla), (0, 1))(x, wt)
+    for a, b_ in zip(g_t, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0, atol=1e-4)
 
 
 def test_xla_conv_only_context(monkeypatch):
