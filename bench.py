@@ -41,10 +41,10 @@ import numpy as np                            # noqa: E402
 MICRO = int(os.environ.get("BENCH_MICRO", "64"))
 # per-chunk batch (VMEM-resident sweet spot, see above); env-overridable
 # for micro-batch sweeps without editing the file
-TOTAL = 1024      # images per timed dispatch
+TOTAL = int(os.environ.get("BENCH_TOTAL", "1024"))  # images per timed dispatch
 assert TOTAL % MICRO == 0, \
     f"BENCH_MICRO={MICRO} must divide TOTAL={TOTAL} (fail fast, not after compile)"
-NUM_STEP = 10
+NUM_STEP = int(os.environ.get("BENCH_STEPS", "10"))
 TARGET = 1000.0   # img/s/chip (BASELINE.md driver target)
 V5E_PEAK = 197e12  # bf16 TFLOP/s
 
@@ -54,7 +54,7 @@ def load_matrix():
     derived DDPM matrix (same shapes, same compute)."""
     from naturaldiffusion_tpu.coeffs.matrix import CoeffMatrix
     from naturaldiffusion_tpu.coeffs import registry
-    path = "/root/reference/weights/step_10_weight_42.npz"
+    path = f"/root/reference/weights/step_{NUM_STEP}_weight_42.npz"
     if os.path.exists(path):
         try:
             return CoeffMatrix.load(path)
@@ -63,7 +63,18 @@ def load_matrix():
     return registry.derive("ddpm", NUM_STEP)
 
 
-def main(trace_dir: str | None = None):
+def _flops_subprocess() -> float:
+    """Run ``bench.py --flops-only`` on the CPU platform and parse the one
+    float it prints.  Used when the live backend can't cost-analyze a
+    lowering client-side (the axon tunnel plugin)."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--flops-only"],
+        capture_output=True, text=True, check=True, env=os.environ)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main(trace_dir: str | None = None, flops_only: bool = False):
     from naturaldiffusion_tpu.models.ncsnpp import (NCSNpp,
                                                     CIFAR10_DDPMPP_CONTINUOUS,
                                                     ncsnpp_schedule_biases)
@@ -71,11 +82,20 @@ def main(trace_dir: str | None = None):
 
     model = NCSNpp(config=CIFAR10_DDPMPP_CONTINUOUS)
     key = jax.random.PRNGKey(0)
-    x0 = jax.random.normal(key, (TOTAL, 32, 32, 3), jnp.float32)
     t0 = jnp.full((1,), 500.0, jnp.float32)
-    params = jax.jit(lambda k: model.init(k, x0[:1], t0)["params"])(
-        jax.random.PRNGKey(1))
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    if flops_only:
+        # CPU-platform helper mode (see _flops_per_img_step): only shapes
+        # matter for cost analysis, so skip the real init
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((1, 32, 32, 3), jnp.float32),
+                                 t0)["params"], jax.random.PRNGKey(1))
+        params = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
+    else:
+        x0 = jax.random.normal(key, (TOTAL, 32, 32, 3), jnp.float32)
+        params = jax.jit(lambda k: model.init(k, x0[:1], t0)["params"])(
+            jax.random.PRNGKey(1))
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
     sched = NISchedule.from_matrix(load_matrix())
 
@@ -88,11 +108,28 @@ def main(trace_dir: str | None = None):
                            jnp.full((z.shape[0],), t, jnp.float32),
                            mods=mods)
 
-    # flops-per-forward from XLA cost analysis (auditable MFU denominator)
+    # flops-per-forward from XLA cost analysis (auditable MFU denominator).
+    # Never pays a tunnel compile for this: client-side on the lowering when
+    # the backend supports it, else a CPU-platform subprocess (--flops-only)
+    # — the axon compile RPC can take minutes under load and this number
+    # needs no TPU executable.
     fwd = jax.jit(lambda z: score_as_x0(z, 500.0))
-    ca = fwd.lower(x0[:MICRO]).compile().cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else ca
-    flops_per_img_step = float(ca.get("flops", 0.0)) / MICRO
+    zf = jnp.zeros((MICRO, 32, 32, 3), jnp.float32)
+    lowered = fwd.lower(zf)
+    try:
+        ca = lowered.cost_analysis()
+    except Exception:
+        ca = None
+    if not ca and jax.default_backend() == "cpu":
+        ca = lowered.compile().cost_analysis()
+    if ca:
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_per_img_step = float(ca.get("flops", 0.0)) / MICRO
+    else:
+        flops_per_img_step = _flops_subprocess()
+    if flops_only:
+        print(flops_per_img_step)
+        return
 
     # schedule-hoisted conditioning (BENCH_MODS=0 is the A/B control): the
     # NI timestep schedule is static, so the temb chain + every resblock's
@@ -122,19 +159,23 @@ def main(trace_dir: str | None = None):
     zs = x0.reshape(nchunk, MICRO, 32, 32, 3)
     # the jitted executable reduces to a checksum so timing forces full
     # execution + a scalar host transfer — block_until_ready alone does not
-    # reliably synchronize through the TPU tunnel
+    # reliably synchronize through the TPU tunnel.  The checksum doubles as
+    # the finiteness guard: any NaN/Inf element makes the sum non-finite
+    # (NaN propagates; +/-Inf yields Inf or NaN), so no second full-output
+    # executable needs compiling — one big tunnel compile total.
     run_sum = jax.jit(lambda zs, k: jnp.float32(run(zs, k).sum()))
 
     k = jax.random.PRNGKey(2)
-    out = jax.jit(run)(zs, k)                   # full output for finiteness
-    _ = float(run_sum(zs, k))                   # compile + warm
+    warm = float(run_sum(zs, k))                # compile + warm
+    assert np.isfinite(warm), f"non-finite checksum {warm}"
     # per-iteration timing, median of 5 (the tunnel adds noisy RPC latency)
     times = []
     for i in range(5):
         ki = jax.random.fold_in(k, i)
         t0_ = time.time()
-        _ = float(run_sum(zs, ki))
+        s = float(run_sum(zs, ki))
         times.append(time.time() - t0_)
+        assert np.isfinite(s), f"non-finite checksum {s} (iter {i})"
     dt = sorted(times)[len(times) // 2]
     img_per_sec = TOTAL / dt
 
@@ -145,7 +186,6 @@ def main(trace_dir: str | None = None):
             _ = float(run_sum(zs, jax.random.fold_in(k, 99)))
     mfu = img_per_sec * NUM_STEP * flops_per_img_step / V5E_PEAK
 
-    assert np.isfinite(np.asarray(out, np.float32)).all()
     print(json.dumps({
         "metric": "cifar10_ni10_img_per_sec_per_chip",
         "value": round(float(img_per_sec), 2),
@@ -163,4 +203,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None,
                     help="also capture an xprof trace of one dispatch here")
-    main(trace_dir=ap.parse_args().trace)
+    ap.add_argument("--flops-only", action="store_true",
+                    help="(internal) print flops_per_img_step on CPU and exit")
+    a = ap.parse_args()
+    if a.flops_only:
+        # sitecustomize pins jax_platforms=axon; override at config level
+        # before first device use (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+        main(flops_only=True)
+    else:
+        main(trace_dir=a.trace)
