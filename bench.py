@@ -125,8 +125,17 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
     if ca:
         ca = ca[0] if isinstance(ca, list) else ca
         flops_per_img_step = float(ca.get("flops", 0.0)) / MICRO
+        # pre-optimization client-side lowering vs post-optimization compiled
+        # executable: CSE etc. can shift the count, so record which one the
+        # MFU denominator came from (auditable across rounds)
+        flops_source = "lowering"
+    elif flops_only:
+        # we ARE the CPU subprocess — falling through to _flops_subprocess()
+        # would spawn an identical child forever; fail loudly instead
+        raise RuntimeError("cost analysis unavailable on the CPU platform")
     else:
         flops_per_img_step = _flops_subprocess()
+        flops_source = "cpu_compiled"
     if flops_only:
         print(flops_per_img_step)
         return
@@ -167,7 +176,10 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
 
     k = jax.random.PRNGKey(2)
     warm = float(run_sum(zs, k))                # compile + warm
-    assert np.isfinite(warm), f"non-finite checksum {warm}"
+    # explicit raise, not assert: these guards are the only NaN/Inf detection
+    # on the reported number and must survive `python -O`
+    if not np.isfinite(warm):
+        raise RuntimeError(f"non-finite checksum {warm}")
     # per-iteration timing, median of 5 (the tunnel adds noisy RPC latency)
     times = []
     for i in range(5):
@@ -175,7 +187,8 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
         t0_ = time.time()
         s = float(run_sum(zs, ki))
         times.append(time.time() - t0_)
-        assert np.isfinite(s), f"non-finite checksum {s} (iter {i})"
+        if not np.isfinite(s):
+            raise RuntimeError(f"non-finite checksum {s} (iter {i})")
     dt = sorted(times)[len(times) // 2]
     img_per_sec = TOTAL / dt
 
@@ -192,6 +205,7 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
         "unit": "img/s",
         "vs_baseline": round(float(img_per_sec) / TARGET, 4),
         "flops_per_img_step": flops_per_img_step,
+        "flops_source": flops_source,
         "mfu": round(float(mfu), 4),
         "micro_batch": MICRO,
         "total_batch": TOTAL,

@@ -43,16 +43,36 @@ def load_params(ckpt: str | None, model, rng):
 
 
 def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
-                 micro: int = 64, dtype=jnp.bfloat16):
+                 micro: int = 64, dtype=jnp.bfloat16, mesh=None,
+                 data_axis: str = "data"):
     """One jitted NI executable; score -> x0 conversion inside the engine
     (`data_fn`, src/CIFAR10NaturalInference.py:219-230).
 
     ``micro``: images per VMEM-resident chunk, mapped serially inside the
     jit — 64 keeps the inter-fusion working set on-chip (717 vs ~550
-    img/s device rate at batch 512 on v5e; PERF.md)."""
+    img/s device rate at batch 512 on v5e; PERF.md).
+
+    ``mesh``: when given (DP sampling), chunking is device-aligned — each
+    chunk takes ``micro/n_dev`` rows from EVERY device's local batch range,
+    so the chunk reshapes are pure relabelings of device-local data and the
+    executable contains zero activation collectives
+    (``tests/test_dp_comm_clean.py``).  Naive contiguous chunking makes
+    GSPMD shard the chunk axis and all-gather the batch inside the scan on
+    every step.  Image->chunk assignment (and therefore the per-image
+    stochastic-noise draw) depends on the mesh size; per-image results are
+    unchanged for deterministic schedules."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     sched = NISchedule.from_matrix(matrix)
     n = sched.num_step
     p = jax.tree.map(lambda a: a.astype(dtype), params)
+    shards = mesh.shape[data_axis] if mesh is not None else 1
+
+    def cons(x, *spec):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
 
     def eps_fn(z, t, mods):
         return model.apply({"params": p}, z.astype(dtype),
@@ -70,12 +90,34 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
         mods = ncsnpp_schedule_biases(model, p, sched.node[:n, 0],
                                       dtype=dtype)
         bb = init.shape[0]           # static at trace time (tail batches)
-        if not micro or bb % micro or bb <= micro:
+        if not micro or bb % micro or bb <= micro \
+                or (shards > 1 and micro % shards):
             return one(init, key, mods)
         nchunk = bb // micro
-        zs = init.reshape(nchunk, micro, *init.shape[1:])
+        tail = init.shape[1:]
+        nd = len(tail)
         keys = jax.random.split(key, nchunk)
+        if shards > 1:
+            # device-aligned grouping (see docstring): every reshape and
+            # transpose below keeps each element on its original device
+            ml = micro // shards
+            zs = init.reshape(shards, nchunk, ml, *tail)
+            zs = cons(zs, data_axis, *([None] * (2 + nd)))
+            zs = zs.transpose(1, 0, 2, *range(3, 3 + nd))
+            zs = cons(zs, None, data_axis, *([None] * (1 + nd)))
+            zs = zs.reshape(nchunk, micro, *tail)
+            zs = cons(zs, None, data_axis, *([None] * nd))
+        else:
+            zs = init.reshape(nchunk, micro, *tail)
         out = jax.lax.map(lambda zk: one(zk[0], zk[1], mods), (zs, keys))
+        if shards > 1:
+            out = cons(out, None, data_axis, *([None] * nd))
+            out = out.reshape(nchunk, shards, ml, *tail)
+            out = cons(out, None, data_axis, *([None] * (1 + nd)))
+            out = out.transpose(1, 0, 2, *range(3, 3 + nd))
+            out = cons(out, data_axis, *([None] * (2 + nd)))
+            return cons(out.reshape(init.shape), data_axis,
+                        *([None] * nd))
         return out.reshape(init.shape)
 
     return jax.jit(run)
@@ -106,7 +148,7 @@ def main(argv=None) -> int:
 
     mesh = make_mesh()
     run = make_sampler(params, model, matrix, batch=args.batch,
-                       micro=args.micro)
+                       micro=args.micro, mesh=mesh)
 
     key = jax.random.PRNGKey(args.seed)
     ndev = mesh.devices.size

@@ -59,7 +59,7 @@ def sample_images(args, mesh) -> tuple[np.ndarray, float, float]:
     model = NCSNpp(config=cfg)
     params = load_params(args.ckpt, model, jax.random.PRNGKey(0))
     run = make_sampler(params, model, matrix, batch=args.batch,
-                       micro=args.micro)
+                       micro=args.micro, mesh=mesh)
 
     # every dispatch is a FULL batch (one compiled shape — a fresh-shape
     # tail batch would pay a second multi-minute XLA compile through the

@@ -17,12 +17,17 @@ import pytest
 
 
 @pytest.mark.parametrize("mods", ["1", "0"])
-def test_bench_main_toy(capsys, monkeypatch, mods):
+def test_bench_main_toy(capsys, monkeypatch, mods, request):
     monkeypatch.setenv("BENCH_TOTAL", "4")
     monkeypatch.setenv("BENCH_MICRO", "2")
     monkeypatch.setenv("BENCH_STEPS", "2")
     monkeypatch.setenv("BENCH_MODS", mods)
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    monkeypatch.syspath_prepend(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    # drop the module at teardown (after monkeypatch restores the env) so any
+    # later `import bench` re-reads the PRODUCTION constants, not TOTAL=4
+    request.addfinalizer(lambda: sys.modules.pop("bench", None))
     import bench
     importlib.reload(bench)  # re-read the env-dependent module constants
     bench.main()
