@@ -175,9 +175,30 @@ class CLIPBPETokenizer:
             bpe_tokens.extend(self.bpe(tok).split(" "))
         return bpe_tokens
 
-    def encode(self, text: str) -> list[int]:
-        """Token ids WITHOUT specials."""
-        return [self.encoder.get(t, self.unk_id) for t in self.tokenize(text)]
+    def encode(self, text: str,
+               extra_specials: tuple[str, ...] = ()) -> list[int]:
+        """Token ids WITHOUT bos/eos framing.
+
+        Matches HF's added-token trie (``PreTrainedTokenizer.tokenize``):
+        special-token strings — bos, eos, and any ``extra_specials`` such
+        as a ``"!"`` pad token — are split out of the RAW text first
+        (exact match, before cleaning), emit their own id, and the
+        surrounding segments are cleaned+BPE'd independently, so a word
+        abutting a special gets its ``</w>`` at the cut (fuzz-pinned vs
+        transformers in ``tests/test_text_fuzz.py``)."""
+        specials = {self.bos_token: self.bos_id, self.eos_token: self.eos_id}
+        for s in extra_specials:
+            specials[s] = self.encoder[s]
+        pat = "|".join(regex.escape(s)
+                       for s in sorted(specials, key=len, reverse=True))
+        ids: list[int] = []
+        for part in regex.split(f"({pat})", text):
+            if part in specials:
+                ids.append(specials[part])
+            elif part:
+                ids.extend(self.encoder.get(t, self.unk_id)
+                           for t in self.tokenize(part))
+        return ids
 
     def __call__(self, texts: str | list[str],
                  context_length: int = 77,
@@ -190,9 +211,10 @@ class CLIPBPETokenizer:
             texts = [texts]
         pad_id = self.encoder[pad_token] if pad_token is not None \
             else self.pad_id
+        extra = (pad_token,) if pad_token is not None else ()
         out = np.full((len(texts), context_length), pad_id, np.int32)
         for i, text in enumerate(texts):
-            ids = self.encode(text)[: context_length - 2]
+            ids = self.encode(text, extra_specials=extra)[: context_length - 2]
             row = [self.bos_id, *ids, self.eos_id]
             out[i, : len(row)] = row
         return out

@@ -124,13 +124,15 @@ class SentencePieceUnigram:
         self.pad_id = pad_id if pad_id >= 0 else 0
 
         self._match: dict[str, tuple[int, float]] = {}
+        # an absent proto `type` field means NORMAL (protobuf default) —
+        # accept None-typed pieces the same way
         scores = [s for _, s, t in pieces
-                  if t in (_SP_NORMAL, _SP_USER)]
+                  if t in (_SP_NORMAL, _SP_USER, None)]
         self._min_score = min(scores) if scores else 0.0
         self._unk_score = self._min_score - 10.0   # kUnkPenalty
         self._max_len = 1
         for idx, (piece, score, typ) in enumerate(pieces):
-            if typ in (_SP_NORMAL, _SP_USER):
+            if typ in (_SP_NORMAL, _SP_USER, None):
                 self._match[piece] = (idx, score)
                 self._max_len = max(self._max_len, len(piece))
 
