@@ -159,10 +159,10 @@ def _tiled_working_set(th, ww, cin, cout, itemsize):
 def _tiledew_working_set(th, ww, cin, cout, itemsize):
     """VMEM bytes for one grid step of the element-window variant: the
     pipeline emitter double-buffers the overlapping (th+2)-row input
-    window, plus the edge-masked copy, double-buffered output, f32
-    accumulator, resident weights."""
+    window, plus double-buffered output, f32 accumulator, resident
+    weights.  (The input is H-prepadded in HBM; that costs bandwidth,
+    not VMEM.)"""
     return (2 * (th + 2) * ww * cin * itemsize
-            + (th + 2) * ww * cin * itemsize
             + 2 * th * ww * cout * itemsize
             + th * ww * cout * 4
             + 9 * cin * cout * itemsize)
@@ -194,12 +194,19 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout, variant):
     elif variant == "kstack":
         # three deep dots, K = 3*C_in: the dx taps concatenate on the lane
         # axis (VPU copies) so each dot amortizes its accumulator traffic
-        # over a 3x deeper contraction
+        # over a 3x deeper contraction.  The dx shift is a sublane ROTATE
+        # (tpu.dynamic_rotate), not a slice: shifted slices carry sublane
+        # offsets 0/1/2 and Mosaic's concatenate cannot relayout them
+        # ("result/input offset mismatch on non-concat dimension",
+        # results/perf_r4/bench_mods1.err); the rotate lands at offset 0.
+        # Wrapped columns fall outside the [:ww] window, so values match.
         acc = jnp.zeros((m, cout), jnp.float32)
         for dy in range(3):
             row = x_ref[:, dy:dy + hh, :, :]
             xs = jnp.concatenate(
-                [row[:, :, dx:dx + ww, :] for dx in range(3)],
+                [(row if dx == 0 else           # roll(0) -> 0-size slice
+                  jnp.roll(row, -dx, axis=2))[:, :, :ww, :]
+                 for dx in range(3)],
                 axis=-1).reshape(m, 3 * cin)
             wk = w_ref[dy].reshape(3 * cin, cout)
             acc = acc + jnp.dot(xs, wk, preferred_element_type=jnp.float32)
@@ -448,15 +455,12 @@ def _conv_tiledew_kernel(x_ref, w_ref, b_ref, o_ref, *, hh, ww, cin, cout,
                          th):
     """Element-window tiled valid9: ``x_ref`` is an OVERLAPPING
     (th+2)-row window (Mosaic ``#tpu.element_window``, double-buffered by
-    the XLA pipeline emitter) whose out-of-image halo rows arrive as
-    garbage — one predicated ``where`` zeroes them (SAME padding), then
-    the nine-tap valid-region accumulation runs as in the manual-DMA
-    variant."""
-    ti = pl.program_id(1)
-    rows = (jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-            + ti * th - 1)
-    valid = (rows >= 0) & (rows < hh)
-    xw = jnp.where(valid, x_ref[...], jnp.zeros((), x_ref.dtype))
+    the XLA pipeline emitter) of the H-prepadded input, so the one-row
+    halo on each side is real zeros and no edge masking is needed.  (The
+    original implicit-pad form — ``pl.Element(th+2, (1, 1))`` with a
+    predicated ``where`` — dies in Mosaic: "Low padding not supported
+    yet", results/perf_r4/bench_mods1.err.)"""
+    xw = x_ref[...]
     acc = jnp.zeros((th, ww, cout), jnp.float32)
     for dy in range(3):
         rows_d = xw[dy:dy + th]
@@ -483,16 +487,18 @@ def _pallas_conv_tiledew_call(x, w, b, interpret):
             "VMEM even at 1-row tiles; use conv3x3_xla")
     n_tiles = hh // th
 
-    # index offsets for Element dims are in PADDED-array coordinates, so
-    # tile ti's window [ti*th, ti*th + th+2) covers original rows
-    # [ti*th - 1, ti*th + th + 1) — the one-row halo on each side
+    # H is pre-padded by one zero row each side; tile ti's window
+    # [ti*th, ti*th + th+2) over the PADDED rows covers original rows
+    # [ti*th - 1, ti*th + th + 1) — the one-row halo on each side, with
+    # every window start >= 0 (Mosaic has no low-padding support)
+    xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     in_specs = [
-        pl.BlockSpec((None, pl.Element(th + 2, (1, 1)), pl.Element(ww),
+        pl.BlockSpec((None, pl.Element(th + 2), pl.Element(ww),
                       pl.Element(cin)),
                      lambda bi, ti: (bi, ti * th, 0, 0)),
         pl.BlockSpec((3, 3, cin, cout), lambda bi, ti: (0, 0, 0, 0)),
     ]
-    args = [x, w]
+    args = [xh, w]
     if b is not None:
         in_specs.append(pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)))
         args.append(b.reshape(1, cout))
@@ -594,6 +600,9 @@ def _conv_gn_kernel(refs, *, hh, ww, cin, cout, has_bias, has_pre, has_skip,
     nb = x_ref.shape[0]
     xin = x_ref[:]
     if has_pre:
+        # pre refs are (nb, 1, cin): the singleton keeps the block's last
+        # two dims Mosaic-legal when nb < bsz (sublane rule: second-minor
+        # block dim must be 8-divisible OR equal the array dim)
         xf = xin.astype(jnp.float32)
         xf = xf * pw_ref[:].reshape(nb, 1, 1, cin) \
             + pb_ref[:].reshape(nb, 1, 1, cin)
@@ -624,8 +633,8 @@ def _conv_gn_kernel(refs, *, hh, ww, cin, cout, has_bias, has_pre, has_skip,
     o_ref[:] = acc.astype(o_ref.dtype)
     if emit_stats:
         flat = acc.reshape(nb, hh * ww, cout)
-        s1_ref[:] = jnp.sum(flat, axis=1)
-        s2_ref[:] = jnp.sum(flat * flat, axis=1)
+        s1_ref[:] = jnp.sum(flat, axis=1).reshape(nb, 1, cout)
+        s2_ref[:] = jnp.sum(flat * flat, axis=1).reshape(nb, 1, cout)
 
 
 @functools.lru_cache(maxsize=None)
@@ -808,8 +817,10 @@ def _pallas_fused_call(arrays, *, has_bias, has_pre, has_skip, skip_rescale,
         in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     if pre is not None:
-        args += [pre[0], pre[1]]
-        in_specs += [pl.BlockSpec((nb, cin), lambda i: (i, 0),
+        # (B, 1, C) so the per-grid-step block (nb, 1, C) keeps its last
+        # two dims equal to the array's (Mosaic sublane rule when nb < B)
+        args += [pre[0].reshape(bsz, 1, cin), pre[1].reshape(bsz, 1, cin)]
+        in_specs += [pl.BlockSpec((nb, 1, cin), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)] * 2
     if skip is not None:
         args.append(skip)
@@ -821,8 +832,8 @@ def _pallas_fused_call(arrays, *, has_bias, has_pre, has_skip, skip_rescale,
     out_specs = [pl.BlockSpec((nb, hh, ww, cout), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)]
     if emit_stats:
-        out_shape += [jax.ShapeDtypeStruct((bsz, cout), jnp.float32)] * 2
-        out_specs += [pl.BlockSpec((nb, cout), lambda i: (i, 0),
+        out_shape += [jax.ShapeDtypeStruct((bsz, 1, cout), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((nb, 1, cout), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 2
 
     kern = functools.partial(
@@ -847,6 +858,9 @@ def _pallas_fused_call(arrays, *, has_bias, has_pre, has_skip, skip_rescale,
             transcendentals=bsz * hh * ww * cin if pre is not None else 0),
         interpret=interpret,
     )(*args)
+    if emit_stats:
+        y, s1, s2 = out
+        return y, s1.reshape(bsz, cout), s2.reshape(bsz, cout)
     return out
 
 
