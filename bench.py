@@ -140,11 +140,13 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
         print(flops_per_img_step)
         return
 
-    # schedule-hoisted conditioning (BENCH_MODS=0 is the A/B control): the
-    # NI timestep schedule is static, so the temb chain + every resblock's
-    # Dense_0 projection are loop constants — precomputed once per dispatch
-    # inside the jitted executable, ~35 MXU-starved kernels leave the step
-    hoist = os.environ.get("BENCH_MODS", "1") != "0"
+    # schedule-hoisted conditioning (BENCH_MODS=1 opts in): the NI timestep
+    # schedule is static, so the temb chain + every resblock's Dense_0
+    # projection are loop constants — precomputable once per dispatch.  The
+    # r4 chip A/B measured no win on this conv-bound model (731.6 img/s
+    # hoisted vs 738.6 plain, PERF.md), so the default reverted to OFF; the
+    # hoist still pays on the weight-read-bound DiT/MMDiT (their mods stay on)
+    hoist = os.environ.get("BENCH_MODS", "0") != "0"
 
     def one(z, k, mods):
         if mods is not None:

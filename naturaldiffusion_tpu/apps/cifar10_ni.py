@@ -80,15 +80,22 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
                            mods=mods)
 
     def one(init, key, mods):
+        if mods is None:
+            return natural_inference(
+                lambda z, t: eps_fn(z, t, None), sched, init, key=key,
+                prediction_type="eps", model_dtype=dtype)
         return natural_inference(
             lambda z, t, aux: eps_fn(z, t, aux), sched, init, key=key,
             prediction_type="eps", model_dtype=dtype, step_inputs=mods)
 
+    # schedule-hoisted conditioning (NATDIFF_HOIST=1 opts in): correct and
+    # bitwise-pinned, but the r4 chip A/B measured no win on this conv-bound
+    # UNet (731.6 hoisted vs 738.6 plain img/s, PERF.md) — default OFF
+    hoist = os.environ.get("NATDIFF_HOIST", "0") != "0"
+
     def run(init, key):
-        # schedule-hoisted conditioning: the temb chain + every resblock
-        # Dense_0 are loop constants under the static NI schedule (PERF.md)
         mods = ncsnpp_schedule_biases(model, p, sched.node[:n, 0],
-                                      dtype=dtype)
+                                      dtype=dtype) if hoist else None
         bb = init.shape[0]           # static at trace time (tail batches)
         if not micro or bb % micro or bb <= micro \
                 or (shards > 1 and micro % shards):

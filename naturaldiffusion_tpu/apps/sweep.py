@@ -76,12 +76,34 @@ def _filter_cells(args, cells):
     return out
 
 
+def _make_runner(s, micro, cache):
+    """Jit a cell's sampler.  Samplers exposing ``run``/``run_args`` (the
+    DEIS AB families) get their coefficient tables passed as runtime
+    arguments, and the jitted wrapper is cached by ``s.structure`` — all
+    cells of one structure (e.g. every t_ab/ipndm order-3 cell at any
+    ts_phase) then hit ONE compiled executable instead of paying a
+    multi-minute tunnel compile per cell (PERF.md r4 sweep section).
+    Sharing is sound because ``run`` is functionally identical for a given
+    structure: same eps_fn, same order; only the table VALUES differ."""
+    if not hasattr(s, "run"):
+        return jax.jit(_microbatch(s, micro))
+    data = tuple(jnp.asarray(a, jnp.float32) for a in s.run_args)
+    jitted = cache.get(s.structure)
+    if jitted is None:
+        run = s.run
+        jitted = jax.jit(lambda x, *d: _microbatch(
+            lambda xx: run(xx, *d), micro)(x))
+        cache[s.structure] = jitted
+    return lambda x: jitted(x, *data)
+
+
 def _sample_cells(args, cells, build_sampler):
     cells = _filter_cells(args, cells)
     rows = []
+    cache = {}
     for cell in cells:
-        sampler = jax.jit(_microbatch(build_sampler(cell),
-                                      getattr(args, "micro", 64)))
+        sampler = _make_runner(build_sampler(cell),
+                               getattr(args, "micro", 64), cache)
         key = jax.random.PRNGKey(args.seed)
         imgs, t0 = [], None
         done = 0
@@ -138,6 +160,8 @@ def sweep_deis(args):
             for order in (1, 2, 3):
                 if method == "rho_rk" and order != 3:
                     continue   # rk grid keyed by tableau, not ab_order
+                if method == "ipndm" and order != 3:
+                    continue   # ipndm has no order knob (fixed AB-3 ramp)
                 cells.append({"ts_phase": ts_phase, "method": method,
                               "ab_order": order})
 

@@ -93,16 +93,20 @@ def fused_resblock_ok(x, out_ch: int, *, shape=None) -> bool:
 
 def default_variant() -> str:
     """In-model kernel formulation (``NATDIFF_CONV_VARIANT``); default is
-    the pad-free ``valid9`` — strictly less HBM traffic than the padded
-    forms (no jnp.pad pre-pass)."""
-    return os.environ.get("NATDIFF_CONV_VARIANT", "valid9")
+    ``taps9`` — fastest Pallas form at 4/6 measured hot shapes on the v5e
+    chip (PERF.md r4 table; ``valid9``'s pad-free HBM saving did not show
+    up on hardware: 12.5 vs 18.2 TFLOP/s at the 32x32x128 shape)."""
+    return os.environ.get("NATDIFF_CONV_VARIANT", "taps9")
 
 
 def tiled_variant() -> str:
     """Large-feature-map formulation (``NATDIFF_CONV_TILED``): ``tiled``
     (manual-DMA halo scratch, serial fetch) or ``tiledew`` (Mosaic
     element-window halo, double-buffered fetch by the pipeline emitter);
-    chip A/B via ``apps/bench_conv.py`` decides the default."""
+    the r4 chip A/B measured them equal within noise at every shape
+    (PERF.md), so the simpler ``tiled`` is the default — and both lose
+    ~2x to XLA's spatial tiling at the celebahq L0 shape, so the whole
+    halo path stays opt-in."""
     return os.environ.get("NATDIFF_CONV_TILED", "tiled")
 
 # per-grid-step VMEM budget for (double-buffered input + output) + f32
@@ -114,22 +118,36 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 _VMEM_FIT = 12 * 1024 * 1024
 
 
+def _vmem_array_bytes(dims, itemsize):
+    """Mosaic-allocated VMEM bytes for an array blocked at ``dims``: the
+    last dim pads to the 128-lane vreg width and the second-to-last to the
+    sublane granule (8 f32 words -> 32/itemsize elements).  The r4 chip run
+    caught the logical-size estimate under-counting 4x at the UNet's deep
+    4x4 blocks (scoped-vmem OOM, 16.07M vs the 16M cap, PERF.md)."""
+    *lead, s, l = dims
+    sub = 32 // itemsize
+    padded = -(-s // sub) * sub * -(-l // 128) * 128
+    for d in lead:
+        padded *= d
+    return padded * itemsize
+
+
 def _working_set_bytes(nb, hh, ww, cin, cout, itemsize, variant,
                        fused=False, has_pre=False, has_skip=False):
-    """VMEM bytes for one grid step at block-batch ``nb``."""
+    """VMEM bytes for one grid step at block-batch ``nb`` (padded layouts)."""
     halo = 0 if (variant == "valid9" or fused) else 2
     per = (
-        2 * nb * (hh + halo) * (ww + halo) * cin * itemsize  # in, dbl-buffered
-        + 2 * nb * hh * ww * cout * itemsize                 # out, dbl-buffered
-        + nb * hh * ww * cout * 4                            # f32 accumulator
+        2 * _vmem_array_bytes((nb, hh + halo, ww + halo, cin), itemsize)
+        + 2 * _vmem_array_bytes((nb, hh, ww, cout), itemsize)  # out, dbl-buf
+        + _vmem_array_bytes((nb, hh, ww, cout), 4)             # f32 acc
     )
     if variant == "kstack":
-        per += nb * hh * ww * 3 * cin * itemsize             # dx-concat staging
+        per += _vmem_array_bytes((nb, hh, ww, 3 * cin), itemsize)
     if fused and has_pre:
-        per += nb * hh * ww * cin * 4                        # f32 prologue temp
+        per += _vmem_array_bytes((nb, hh, ww, cin), 4)         # f32 prologue
     if fused and has_skip:
-        per += 2 * nb * hh * ww * cout * itemsize            # skip, dbl-buffered
-    return per + 9 * cin * cout * itemsize                   # resident weights
+        per += 2 * _vmem_array_bytes((nb, hh, ww, cout), itemsize)
+    return per + _vmem_array_bytes((9, cin, cout), itemsize)   # weights
 
 
 def pallas_conv_fits(shape, cout, itemsize, variant="valid9", *,

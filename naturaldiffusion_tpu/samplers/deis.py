@@ -30,10 +30,15 @@ def _ab_scan(eps_fn: Callable, rev_ts: np.ndarray, ab_coef: np.ndarray,
              order: int):
     """Shared AB loop (reference ``ab_step`` ``deps/th_deis/multistep.py:98-104``
     + ``fori_loop`` body ``sampler.py:37-48``): carry (x, eps history
-    newest-first, seeded with xT)."""
-    def sampler(xT):
-        ts = jnp.asarray(rev_ts[:-1], xT.dtype)
-        coefs = jnp.asarray(ab_coef, xT.dtype)
+    newest-first, seeded with xT).
+
+    The returned sampler also exposes the loop as ``sampler.run(xT, ts,
+    coefs)`` with the tables as RUNTIME arguments plus ``run_args``/
+    ``structure`` — every grid cell of the same (order,) then lowers to
+    byte-identical HLO, so a sweep pays ONE tunnel compile per structure
+    instead of one per cell (the r3 grids embedded the tables as HLO
+    constants; 15 cells = 15 multi-minute compiles)."""
+    def run(xT, ts, coefs):
         hist = jnp.stack([xT] * order)
 
         def body(carry, inp):
@@ -49,6 +54,14 @@ def _ab_scan(eps_fn: Callable, rev_ts: np.ndarray, ab_coef: np.ndarray,
         (x, _), _ = jax.lax.scan(body, (xT, hist), (ts, coefs))
         return x
 
+    def sampler(xT):
+        ts, coefs = (jnp.asarray(a, xT.dtype) for a in run_args)
+        return run(xT, ts, coefs)
+
+    run_args = (np.asarray(rev_ts[:-1]), np.asarray(ab_coef))
+    sampler.run = run
+    sampler.run_args = run_args
+    sampler.structure = ("ab_scan", order)
     return sampler
 
 
@@ -119,9 +132,10 @@ def get_sampler_rho_ab(sde: LinearVPSDE, eps_fn: Callable, ts_phase: str,
     sqrt_alphas = np.sqrt(alpha_ts[:-1])
     ts_nodes = rev_ts[:-1]
 
-    def sampler(xT):
-        coefs = jnp.asarray(ab_coef, xT.dtype)
-        v = xT / float(np.sqrt(alpha_ts[0]))
+    def run(xT, ts, sas, coefs, sa_ends):
+        # sa_ends = [sqrt(alpha_{t_N}), sqrt(alpha_{t_0})]: runtime data so
+        # every (ab_order,) cell shares one executable (see _ab_scan)
+        v = xT / sa_ends[0]
         hist = jnp.stack([xT] * ab_order)
 
         def body(carry, inp):
@@ -135,12 +149,19 @@ def get_sampler_rho_ab(sde: LinearVPSDE, eps_fn: Callable, ts_phase: str,
             hist = jnp.concatenate([new_eps[None], hist[:-1]], axis=0)
             return (new_v, hist), None
 
-        (v, _), _ = jax.lax.scan(
-            body, (v, hist),
-            (jnp.asarray(ts_nodes, xT.dtype),
-             jnp.asarray(sqrt_alphas, xT.dtype), coefs))
-        return v * float(np.sqrt(alpha_ts[-1]))
+        (v, _), _ = jax.lax.scan(body, (v, hist), (ts, sas, coefs))
+        return v * sa_ends[1]
 
+    def sampler(xT):
+        args = (jnp.asarray(a, xT.dtype) for a in run_args)
+        return run(xT, *args)
+
+    run_args = (np.asarray(ts_nodes), np.asarray(sqrt_alphas),
+                np.asarray(ab_coef),
+                np.sqrt(np.asarray([alpha_ts[0], alpha_ts[-1]])))
+    sampler.run = run
+    sampler.run_args = run_args
+    sampler.structure = ("rho_ab", ab_order)
     return sampler
 
 
