@@ -10,7 +10,9 @@ NCSN++ VP, Adam + warmup + grad-clip, EMA — on CIFAR-shaped synthetic data.
 ``--chain`` steps are run inside ONE jitted ``lax.scan`` (state carried,
 keys folded per step) so the ~35 ms tunnel RPC amortizes and the timing is
 honest through the axon tunnel (the final loss is fetched as the checksum).
-FLOPs come from XLA cost analysis of the scan (auditable MFU denominator);
+FLOPs come from XLA cost analysis of ONE compiled step — never the scan:
+HloCostAnalysis counts a loop body once, so scan_flops/chain silently
+under-reports by ~chain x (the r4 bug this line documents);
 training runs f32 (the reference's precision), so MFU is quoted against
 BOTH the f32 and bf16 peaks.  Prints one JSON line.
 """
@@ -41,6 +43,8 @@ def main(argv=None) -> int:
     p.add_argument("--nf", type=int, default=128)
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the model (HBM for FLOPs trade)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: bf16 fwd/bwd, f32 master state")
     p.add_argument("--trace", default=None)
     args = p.parse_args(argv)
 
@@ -53,8 +57,9 @@ def main(argv=None) -> int:
     def apply_fn(p_, x, t_label):
         return model.apply({"params": p_}, x, t_label)
 
-    init_fn, step_fn = make_train_step(VPSDE(), apply_fn, warmup=5000,
-                                       remat=args.remat)
+    init_fn, step_fn = make_train_step(
+        VPSDE(), apply_fn, warmup=5000, remat=args.remat,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     state = jax.jit(init_fn)(params)
     batch = jax.random.normal(jax.random.PRNGKey(1),
                               (args.batch, 32, 32, 3), jnp.float32)
@@ -69,11 +74,17 @@ def main(argv=None) -> int:
 
     runj = jax.jit(chain, donate_argnums=())   # tunnel rejects donation
 
-    # auditable MFU denominator: XLA cost analysis of the whole chain
-    comp = runj.lower(state, jax.random.PRNGKey(2), batch).compile()
-    ca = comp.cost_analysis()
+    # Auditable MFU denominator: cost-analyze ONE step, not the scan.
+    # HloCostAnalysis counts a while-loop body ONCE (trip count is not
+    # multiplied in), so chain_flops/chain under-reports by ~chain x —
+    # caught in r4 when the "f32 train step" came out at 11.6 TFLOP/s
+    # while a lone forward at the same batch was already 2.6 TFLOP
+    # (PERF.md, training-substrate section).
+    comp1 = jax.jit(step_fn).lower(
+        state, jax.random.PRNGKey(2), batch).compile()
+    ca = comp1.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
-    flops_per_step = float(ca.get("flops", 0.0)) / args.chain
+    flops_per_step = float(ca.get("flops", 0.0))
 
     state2, loss = runj(state, jax.random.PRNGKey(2), batch)
     assert np.isfinite(float(loss)), loss      # compile + warm + sanity
@@ -94,9 +105,11 @@ def main(argv=None) -> int:
     print(json.dumps({
         "model": f"ncsnpp-vp ({n_par / 1e6:.1f}M params)",
         "batch": args.batch, "chain": args.chain, "remat": args.remat,
+        "bf16": args.bf16,
         "step_ms": round(dt * 1e3, 2),
         "img_per_sec": round(args.batch / dt, 1),
         "flops_per_step": flops_per_step,
+        "flops_source": "compiled-single-step",   # ADVICE r3: auditability
         "tflops": tflops,
         "mfu_vs_f32_peak": tflops * 1e12 / V5E_PEAK_F32,
         "mfu_vs_bf16_peak": tflops * 1e12 / V5E_PEAK_BF16,

@@ -101,7 +101,9 @@ def _sample_cells(args, cells, build_sampler):
     cells = _filter_cells(args, cells)
     rows = []
     cache = {}
+    sink = getattr(args, "_sink", None)      # incremental CSV (see main)
     for cell in cells:
+        cell_t0 = time.time()
         sampler = _make_runner(build_sampler(cell),
                                getattr(args, "micro", 64), cache)
         key = jax.random.PRNGKey(args.seed)
@@ -125,12 +127,18 @@ def _sample_cells(args, cells, build_sampler):
         # CSV must be unmistakable for a real-checkpoint one
         row = {"weights": "converted" if args.ckpt else "random", **cell}
         row["img_per_sec"] = round(rate, 2)
+        # end-to-end cell wall-clock INCLUDING its compile share; img_per_sec
+        # above is steady-state (first/compile batch excluded) — both matter
+        # for grid planning, so both go in the CSV
+        row["wall_s"] = round(time.time() - cell_t0, 1)
         row["finite"] = bool(np.isfinite(imgs).all())
         if args.fid_stats:
             from ..eval.fid import fid_from_samples
             row["fid"] = round(fid_from_samples(imgs, args.fid_stats), 3)
         rows.append(row)
         print(row)
+        if sink is not None:
+            sink(rows)
     return rows
 
 
@@ -218,19 +226,25 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    out = args.out or f"results/FID/{args.family}_{args.steps}step_sweep.csv"
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+
+    def sink(rows):
+        # rewrite after every cell: a preempted grid run still leaves a
+        # resumable artifact (finish the rest with --only; VERDICT r3 #4)
+        with open(out, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+    args._sink = sink
+
     if args.family == "deis":
         rows = sweep_deis(args)
     else:
         rows = sweep_dpmsolver(
             args, "dpmsolver" if args.family == "dpmsolver"
             else "dpmsolver++")
-
-    out = args.out or f"results/FID/{args.family}_{args.steps}step_sweep.csv"
-    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
-    with open(out, "w", newline="") as fh:
-        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+    sink(rows)
     print(f"-> {out}")
     return 0
 

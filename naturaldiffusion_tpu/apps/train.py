@@ -59,6 +59,7 @@ class TrainConfig:
     nf: int = 128
     ch_mult: tuple = (1, 2, 2, 2)
     num_res_blocks: int = 4
+    bf16: bool = False                # mixed precision (f32 master state)
     seed: int = 42
     donate: bool = False
     fsdp: bool = False
@@ -84,7 +85,8 @@ def train(cfg: TrainConfig) -> None:
 
     init_fn, step_fn = make_train_step(
         sde, apply_fn, lr=cfg.lr, warmup=cfg.warmup,
-        grad_clip=cfg.grad_clip)
+        grad_clip=cfg.grad_clip,
+        compute_dtype=jnp.bfloat16 if cfg.bf16 else None)
     state = init_fn(params)
     state = ckpt.restore(cfg.workdir, state)     # preemption resume
     start = int(jax.device_get(state.step))
@@ -216,6 +218,10 @@ def main(argv=None) -> int:
         int(x) for x in s.split(",")), default=(1, 2, 2, 2))
     p.add_argument("--num-res-blocks", type=int, default=4)
     p.add_argument("--no-snapshot-samples", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 fwd/bwd with f32 master params/opt/EMA "
+                        "(TPU mixed precision; default is the "
+                        "reference's f32)")
     p.add_argument("--bpd", action="store_true",
                    help="also report prob-flow bits/dim in eval mode")
     args = p.parse_args(argv)
@@ -228,7 +234,7 @@ def main(argv=None) -> int:
         nf=args.nf, ch_mult=args.ch_mult,
         num_res_blocks=args.num_res_blocks,
         sample_at_snapshot=not args.no_snapshot_samples, bpd=args.bpd,
-        donate=args.donate, fsdp=args.fsdp)
+        bf16=args.bf16, donate=args.donate, fsdp=args.fsdp)
     (train if args.mode == "train" else evaluate)(cfg)
     return 0
 

@@ -44,7 +44,8 @@ def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
                     reduce_mean: bool = True,
                     likelihood_weighting: bool = False,
                     continuous: bool = True,
-                    remat: bool = False):
+                    remat: bool = False,
+                    compute_dtype=None):
     """Returns (init_fn(params) -> TrainState, step_fn(state, key, batch) ->
     (state, loss)).  ``apply_fn(params, x, t_label) -> model output``.
 
@@ -52,8 +53,22 @@ def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
     activations in the backward pass instead of storing them (the standard
     HBM/FLOPs trade for transformer-scale models; the 62M NCSN++ doesn't
     need it, a 2B MMDiT does).  Jit the returned ``step_fn`` with
-    ``donate_argnums=(0,)`` so the old TrainState's buffers are reused."""
+    ``donate_argnums=(0,)`` so the old TrainState's buffers are reused.
+
+    ``compute_dtype=jnp.bfloat16`` is the TPU mixed-precision mode the
+    reference (f32-only torch, ``run_lib.py:127-173``) has no equivalent
+    of: master params, Adam moments, EMA, loss, and grads all stay f32;
+    only the network fwd/bwd runs in bf16 (the MXU's native dtype — 4x
+    the f32 matmul peak on v5e).  The default ``None`` keeps bit-for-bit
+    reference-parity f32."""
     tx = make_optimizer(lr=lr, warmup=warmup, grad_clip=grad_clip)
+    if compute_dtype is not None:
+        base_apply = apply_fn
+
+        def apply_fn(p_, x, t_label):
+            p_lo = jax.tree.map(lambda a: a.astype(compute_dtype), p_)
+            out = base_apply(p_lo, x.astype(compute_dtype), t_label)
+            return out.astype(jax.numpy.float32)
     if remat:
         apply_fn = jax.checkpoint(apply_fn)
 

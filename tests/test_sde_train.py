@@ -118,6 +118,48 @@ def test_train_step_reduces_loss():
     assert int(state.ema.num_updates) == 30
 
 
+def test_train_step_bf16_compute():
+    """Mixed precision: bf16 fwd/bwd, but master params / Adam moments /
+    EMA / loss all stay f32, and the first-step update tracks the f32
+    step to bf16-grad tolerance."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, labels):
+            h = nn.Dense(16)(x.reshape(x.shape[0], -1))
+            h = nn.tanh(h)
+            return nn.Dense(x[0].size)(h).reshape(x.shape)
+
+    model = Tiny()
+    x0 = jnp.zeros((8, 4, 4, 1))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros(8))["params"]
+
+    def apply_fn(p, x, labels):
+        return model.apply({"params": p}, x, labels)
+
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 4, 1)) * 0.1
+    key = jax.random.PRNGKey(1)
+
+    states, losses = {}, {}
+    for tag, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        init_fn, step_fn = make_train_step(VPSDE(), apply_fn, lr=1e-2,
+                                           warmup=1, compute_dtype=dt)
+        st, loss = jax.jit(step_fn)(init_fn(params), key, batch)
+        states[tag], losses[tag] = st, float(loss)
+
+    st = states["bf16"]
+    for leaf in jax.tree.leaves(st.params) + jax.tree.leaves(st.ema.shadow):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    assert np.isfinite(losses["bf16"])
+    np.testing.assert_allclose(losses["bf16"], losses["f32"],
+                               rtol=0.05)
+    for a, b in zip(jax.tree.leaves(states["f32"].params),
+                    jax.tree.leaves(st.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.05)
+
+
 def test_mesh_and_batch_sharding():
     mesh = make_mesh({"data": 8})
     x = jnp.arange(16.0).reshape(16, 1)
