@@ -13,10 +13,11 @@ Two parts:
   (an unknown single-char node with ``min_score - 10`` penalty wherever no
   single-char piece matches).
 
-Normalization implements NFKC + whitespace rules (collapse, escape to
-``▁`` U+2581, dummy prefix) per the model's normalizer flags.  The
-``precompiled_charsmap`` (nmt_nfkc's extra NMT rules) is NOT interpreted —
-for well-formed prompts NFKC agrees with nmt_nfkc.
+Normalization: when the model carries a ``precompiled_charsmap`` (the
+compiled nmt_nfkc rule trie — every T5/SD3 ``spiece.model`` does) it is
+interpreted exactly via :mod:`.charsmap`; otherwise ``unicodedata`` NFKC
+approximates it.  Whitespace rules (collapse, escape to ``▁`` U+2581,
+dummy prefix) follow the model's normalizer flags either way.
 """
 
 from __future__ import annotations
@@ -72,7 +73,7 @@ def parse_model_proto(data: bytes) -> dict:
     flags, special ids}."""
     pieces: list[tuple[str, float, int]] = []
     norm = {"add_dummy_prefix": True, "remove_extra_whitespaces": True,
-            "escape_whitespaces": True}
+            "escape_whitespaces": True, "precompiled_charsmap": b""}
     ids = {"unk_id": 0, "bos_id": 1, "eos_id": 2, "pad_id": -1}
 
     for field, wire, val in _fields(data):
@@ -98,6 +99,8 @@ def parse_model_proto(data: bytes) -> dict:
             for f2, w2, v2 in _fields(val):
                 if f2 in flags:
                     norm[flags[f2]] = bool(v2)
+                elif f2 == 2 and w2 == 2:       # precompiled_charsmap
+                    norm["precompiled_charsmap"] = v2
     return {"pieces": pieces, **norm, **ids}
 
 
@@ -115,8 +118,14 @@ class SentencePieceUnigram:
                  add_dummy_prefix: bool = True,
                  remove_extra_whitespaces: bool = True,
                  escape_whitespaces: bool = True,
-                 unk_id: int = 2, eos_id: int = 1, pad_id: int = 0):
+                 unk_id: int = 2, eos_id: int = 1, pad_id: int = 0,
+                 precompiled_charsmap: bytes = b""):
         self.pieces = pieces
+        if precompiled_charsmap:
+            from .charsmap import PrecompiledCharsmap
+            self._charsmap = PrecompiledCharsmap(precompiled_charsmap)
+        else:
+            self._charsmap = None
         self.add_dummy_prefix = add_dummy_prefix
         self.remove_extra_whitespaces = remove_extra_whitespaces
         self.escape_whitespaces = escape_whitespaces
@@ -145,16 +154,25 @@ class SentencePieceUnigram:
                    remove_extra_whitespaces=m["remove_extra_whitespaces"],
                    escape_whitespaces=m["escape_whitespaces"],
                    unk_id=m["unk_id"], eos_id=m["eos_id"],
-                   pad_id=m["pad_id"])
+                   pad_id=m["pad_id"],
+                   precompiled_charsmap=m["precompiled_charsmap"])
 
     # -- normalization -----------------------------------------------------
 
     def normalize(self, text: str) -> str:
-        text = unicodedata.normalize("NFKC", text)
-        # unicode whitespace family -> plain space (nmt rule subset)
-        text = "".join(" " if ch.isspace() else ch for ch in text)
-        if self.remove_extra_whitespaces:
-            text = " ".join(text.split())
+        if self._charsmap is not None:
+            # the model's own compiled rule trie (nmt_nfkc) — byte-exact.
+            # Post-map, sentencepiece treats only literal ' ' as whitespace.
+            text = self._charsmap.normalize(text)
+            if self.remove_extra_whitespaces:
+                text = " ".join(p for p in text.split(" ") if p)
+        else:
+            # no charsmap in the proto: NFKC + whitespace-family folding
+            # is the documented approximation of nmt_nfkc
+            text = unicodedata.normalize("NFKC", text)
+            text = "".join(" " if ch.isspace() else ch for ch in text)
+            if self.remove_extra_whitespaces:
+                text = " ".join(text.split())
         if not text:
             return ""
         if self.add_dummy_prefix:

@@ -136,7 +136,7 @@ def _pb_piece(piece, score, typ=None):
     return _pb_len(1, body)
 
 
-def _spm_fixture(tmp_path, *, dummy_prefix=True):
+def _spm_fixture(tmp_path, *, dummy_prefix=True, charsmap=None):
     """T5-layout unigram model: pad/eos/unk specials + 6 normal pieces."""
     pieces = [("<pad>", 0.0, 3), ("</s>", 0.0, 3), ("<unk>", 0.0, 2),
               ("▁a", -1.0, None), ("▁ab", -1.5, None),
@@ -151,6 +151,8 @@ def _spm_fixture(tmp_path, *, dummy_prefix=True):
     norm = (_pb_varint(3 << 3) + _pb_varint(1 if dummy_prefix else 0)
             + _pb_varint(4 << 3) + _pb_varint(1)
             + _pb_varint(5 << 3) + _pb_varint(1))
+    if charsmap is not None:
+        norm += _pb_len(2, charsmap)         # NormalizerSpec field 2
     blob += _pb_len(3, norm)
     path = tmp_path / "spiece.model"
     path.write_bytes(blob)
@@ -258,3 +260,104 @@ def test_spm_fuse_unk(tmp_path):
     assert one == run == [4, 2]
     # separated unknowns stay separate
     assert tok.encode("abzaz") == [4, 2, 5, 2]
+
+
+# ---------------------------------------------------------------------------
+# precompiled_charsmap (darts-clone double-array trie)
+# ---------------------------------------------------------------------------
+
+
+def test_charsmap_longest_match_rules():
+    from naturaldiffusion_tpu.text.charsmap import (PrecompiledCharsmap,
+                                                    build_charsmap)
+    cm = PrecompiledCharsmap(build_charsmap({
+        b"ab": b"X", b"abc": b"YZ",              # longest match must win
+        " ".encode(): b" ",                 # nbsp -> space
+        "­".encode(): b"",                  # soft hyphen deleted
+        "Ａ".encode(): b"A",                 # fullwidth A
+    }))
+    assert cm.normalize("abcd") == "YZd"
+    assert cm.normalize("abd") == "Xd"
+    assert cm.normalize("xy a b") == "xy a b"
+    assert cm.normalize("so­ft") == "soft"
+    # replacements are NOT re-scanned (sentencepiece semantics): the "A"
+    # emitted for fullwidth A cannot chain into the "ab" rule
+    assert cm.normalize("Ａbc") == "Abc"
+    assert cm.normalize("plain text!") == "plain text!"
+    assert cm.normalize("") == ""
+
+
+def test_charsmap_nfkc_sample_parity():
+    """Compile a charsmap from real NFKC decompositions; the interpreter
+    must reproduce unicodedata NFKC byte-for-byte on that alphabet."""
+    import random
+    import unicodedata as ud
+    from naturaldiffusion_tpu.text.charsmap import (PrecompiledCharsmap,
+                                                    build_charsmap)
+    # fullwidth block + a few enclosed/fraction chars: decompositions are
+    # plain ASCII-ish and composition-free, so per-char NFKC == string NFKC
+    alphabet = [chr(c) for c in range(0xFF01, 0xFF5F)] + \
+        ["①", "¼", "⁵", "⅓"]
+    rules = {ch.encode(): ud.normalize("NFKC", ch).encode()
+             for ch in alphabet}
+    cm = PrecompiledCharsmap(build_charsmap(rules))
+    rng = random.Random(0)
+    pool = alphabet + list("abc XYZ,.!?")
+    for _ in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        assert cm.normalize(s) == ud.normalize("NFKC", s), repr(s)
+
+
+def test_charsmap_builder_fuzz_vs_greedy_oracle():
+    """Random rule sets through build->parse must agree with a plain
+    longest-match dict oracle on random byte strings (exercises the
+    double-array layout: shared prefixes, leaf-only nodes, deletions)."""
+    import random
+    from naturaldiffusion_tpu.text.charsmap import (PrecompiledCharsmap,
+                                                    build_charsmap)
+    rng = random.Random(1234)
+    for trial in range(25):
+        n_rules = rng.randrange(1, 30)
+        rules = {}
+        for _ in range(n_rules):
+            k = bytes(rng.randrange(97, 103)
+                      for _ in range(rng.randrange(1, 5)))
+            v = bytes(rng.randrange(65, 91)
+                      for _ in range(rng.randrange(0, 4)))
+            rules[k] = v
+        cm = PrecompiledCharsmap(build_charsmap(rules))
+        max_len = max(len(k) for k in rules)
+        for _ in range(40):
+            data = bytes(rng.randrange(97, 105)
+                         for _ in range(rng.randrange(0, 25)))
+            # oracle: greedy longest-match left-to-right
+            out, i = bytearray(), 0
+            while i < len(data):
+                for ln in range(min(max_len, len(data) - i), 0, -1):
+                    if data[i:i + ln] in rules:
+                        out += rules[data[i:i + ln]]
+                        i += ln
+                        break
+                else:
+                    out.append(data[i])
+                    i += 1
+            assert cm.normalize_bytes(data) == bytes(out), (rules, data)
+
+
+def test_spm_model_with_charsmap(tmp_path):
+    """A spiece.model whose NormalizerSpec carries a precompiled_charsmap:
+    encoding must route through the trie, not the NFKC fallback."""
+    from naturaldiffusion_tpu.text.charsmap import build_charsmap
+    # map fullwidth a->a and a private rule NFKC would never do: "q"->"ab"
+    cs = build_charsmap({"ａ".encode(): b"a", b"q": b"ab"})
+    tok = SentencePieceUnigram.from_file(
+        _spm_fixture(tmp_path, charsmap=cs))
+    assert tok._charsmap is not None
+    # "q" -> "ab" -> pieces "▁ab" (id 4); NFKC would leave "q" = unk
+    assert tok.encode("q") == tok.encode("ab") == [4]
+    assert tok.encode("ａ") == tok.encode("a") == [3]
+    # absent charsmap still falls back to NFKC (fullwidth a still folds)
+    tok2 = SentencePieceUnigram.from_file(_spm_fixture(tmp_path))
+    assert tok2._charsmap is None
+    assert tok2.encode("ａ") == [3]
+    assert tok2.encode("q") == [7, 2]            # "▁" + unk under NFKC
