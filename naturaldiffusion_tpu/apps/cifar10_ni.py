@@ -60,12 +60,17 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
     GSPMD shard the chunk axis and all-gather the batch inside the scan on
     every step.  Image->chunk assignment (and therefore the per-image
     stochastic-noise draw) depends on the mesh size; per-image results are
-    unchanged for deterministic schedules."""
+    unchanged for deterministic schedules.
+
+    Params ride the executable as a runtime *argument*, not a closure:
+    the returned sampler can be re-pointed at another checkpoint's tree
+    (``run(init, key, params=other)`` / ``run.with_params``) without a
+    recompile — ``apps/roundtrip.py`` walks every training snapshot
+    through ONE compiled executable this way."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sched = NISchedule.from_matrix(matrix)
     n = sched.num_step
-    p = jax.tree.map(lambda a: a.astype(dtype), params)
     shards = mesh.shape[data_axis] if mesh is not None else 1
 
     def cons(x, *spec):
@@ -74,26 +79,28 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P(*spec)))
 
-    def eps_fn(z, t, mods):
-        return model.apply({"params": p}, z.astype(dtype),
-                           jnp.full((z.shape[0],), t, jnp.float32),
-                           mods=mods)
-
-    def one(init, key, mods):
-        if mods is None:
-            return natural_inference(
-                lambda z, t: eps_fn(z, t, None), sched, init, key=key,
-                prediction_type="eps", model_dtype=dtype)
-        return natural_inference(
-            lambda z, t, aux: eps_fn(z, t, aux), sched, init, key=key,
-            prediction_type="eps", model_dtype=dtype, step_inputs=mods)
-
     # schedule-hoisted conditioning (NATDIFF_HOIST=1 opts in): correct and
     # bitwise-pinned, but the r4 chip A/B measured no win on this conv-bound
     # UNet (731.6 hoisted vs 738.6 plain img/s, PERF.md) — default OFF
     hoist = os.environ.get("NATDIFF_HOIST", "0") != "0"
 
-    def run(init, key):
+    def run(p_in, init, key):
+        p = jax.tree.map(lambda a: a.astype(dtype), p_in)
+
+        def eps_fn(z, t, mods):
+            return model.apply({"params": p}, z.astype(dtype),
+                               jnp.full((z.shape[0],), t, jnp.float32),
+                               mods=mods)
+
+        def one(init, key, mods):
+            if mods is None:
+                return natural_inference(
+                    lambda z, t: eps_fn(z, t, None), sched, init, key=key,
+                    prediction_type="eps", model_dtype=dtype)
+            return natural_inference(
+                lambda z, t, aux: eps_fn(z, t, aux), sched, init, key=key,
+                prediction_type="eps", model_dtype=dtype, step_inputs=mods)
+
         mods = ncsnpp_schedule_biases(model, p, sched.node[:n, 0],
                                       dtype=dtype) if hoist else None
         bb = init.shape[0]           # static at trace time (tail batches)
@@ -127,7 +134,23 @@ def make_sampler(params, model, matrix: CoeffMatrix, *, batch: int,
                         *([None] * nd))
         return out.reshape(init.shape)
 
-    return jax.jit(run)
+    return _Sampler(jax.jit(run), params)
+
+
+class _Sampler:
+    """``sampler(init, key)`` with default params; ``params=`` re-points the
+    same compiled executable at another checkpoint's tree."""
+
+    def __init__(self, runj, params):
+        self.with_params = runj
+        self._params = params
+
+    def __call__(self, init, key, params=None):
+        return self.with_params(
+            self._params if params is None else params, init, key)
+
+    def lower(self, init, key):
+        return self.with_params.lower(self._params, init, key)
 
 
 def main(argv=None) -> int:
