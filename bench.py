@@ -74,7 +74,8 @@ def _flops_subprocess() -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def main(trace_dir: str | None = None, flops_only: bool = False):
+def main(trace_dir: str | None = None, flops_only: bool = False,
+         warm_only: bool = False):
     from naturaldiffusion_tpu.models.ncsnpp import (NCSNpp,
                                                     CIFAR10_DDPMPP_CONTINUOUS,
                                                     ncsnpp_schedule_biases)
@@ -174,7 +175,15 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
     # the finiteness guard: any NaN/Inf element makes the sum non-finite
     # (NaN propagates; +/-Inf yields Inf or NaN), so no second full-output
     # executable needs compiling — one big tunnel compile total.
-    run_sum = jax.jit(lambda zs, k: jnp.float32(run(zs, k).sum()))
+    # BENCH_COMPILER_OPTS: JSON dict of TPU compiler options (e.g.
+    # {"xla_tpu_scoped_vmem_limit_kib": "114688"}).  These CANNOT ride the
+    # XLA_FLAGS env var here: the client-side XLA under the axon tunnel is a
+    # CPU build that hard-aborts on TPU-only flags (parse_flags_from_env);
+    # per-jit compiler_options serialize into the PJRT compile request and
+    # reach the server-side TPU compiler instead.
+    copts = os.environ.get("BENCH_COMPILER_OPTS")
+    run_sum = jax.jit(lambda zs, k: jnp.float32(run(zs, k).sum()),
+                      compiler_options=json.loads(copts) if copts else None)
 
     k = jax.random.PRNGKey(2)
     warm = float(run_sum(zs, k))                # compile + warm
@@ -182,6 +191,13 @@ def main(trace_dir: str | None = None, flops_only: bool = False):
     # on the reported number and must survive `python -O`
     if not np.isfinite(warm):
         raise RuntimeError(f"non-finite checksum {warm}")
+    if warm_only:
+        # --warm-only: populate the persistent compilation cache (compile +
+        # one warm dispatch + finiteness check) and exit without timing.
+        # Lets a later timed run of the same cell skip the ~15-min tunnel
+        # compile — used to overlap ladder compiles with other chip work.
+        print(json.dumps({"warm_only": True, "checksum": warm}))
+        return
     # per-iteration timing, median of 5 (the tunnel adds noisy RPC latency)
     times = []
     for i in range(5):
@@ -221,6 +237,8 @@ if __name__ == "__main__":
                     help="also capture an xprof trace of one dispatch here")
     ap.add_argument("--flops-only", action="store_true",
                     help="(internal) print flops_per_img_step on CPU and exit")
+    ap.add_argument("--warm-only", action="store_true",
+                    help="compile + warm the executable cache, skip timing")
     a = ap.parse_args()
     if a.flops_only:
         # sitecustomize pins jax_platforms=axon; override at config level
@@ -228,4 +246,4 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         main(flops_only=True)
     else:
-        main(trace_dir=a.trace)
+        main(trace_dir=a.trace, warm_only=a.warm_only)
