@@ -42,7 +42,12 @@ def main(argv=None) -> int:
     p.add_argument("--trace", default=None)
     p.add_argument("--toy", action="store_true",
                    help="tiny DiT (smoke tests — timing meaningless)")
+    p.add_argument("--flops-only", action="store_true",
+                   help="(internal) print FLOPs of one CFG forward on the "
+                        "CPU platform and exit")
     args = p.parse_args(argv)
+    if args.flops_only:
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
                     hidden_size=64, depth=2, num_heads=2,
@@ -61,13 +66,64 @@ def main(argv=None) -> int:
                                 cfg.num_classes)
     y = jnp.concatenate([labels, jnp.full((b,), cfg.num_classes)])
 
-    params = jax.jit(lambda k: model.init(
-        k, half[:1], jnp.zeros(1), jnp.zeros(1, jnp.int32))["params"])(
-        jax.random.PRNGKey(2))
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    if args.flops_only:
+        # shapes-only params: cost analysis needs no real init
+        shapes = jax.eval_shape(lambda k: model.init(
+            k, half[:1], jnp.zeros(1), jnp.zeros(1, jnp.int32))["params"],
+            jax.random.PRNGKey(2))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                              shapes)
+    else:
+        params = jax.jit(lambda k: model.init(
+            k, half[:1], jnp.zeros(1), jnp.zeros(1, jnp.int32))["params"])(
+            jax.random.PRNGKey(2))
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     n_par = sum(a.size for a in jax.tree.leaves(params))
 
     sched = NISchedule.from_matrix(registry.derive("ddim", n))
+
+    # FLOPs of ONE step-forward in the mode actually timed (mods slices
+    # hoist the adaLN matmuls out of the loop, so the two modes have
+    # different per-step FLOPs) — the auditable MFU denominator
+    from ..utils.flops import (V5E_BF16_PEAK, flops_from_lowered,
+                               flops_via_cpu_subprocess)
+
+    def _one_step():
+        def apply_fn(p_, xx, tt, yy, mods=None):
+            return model.apply({"params": p_}, xx, tt, yy, mods=mods)
+        if args.no_mods:
+            def f(p_, zz):
+                tb = jnp.full((zz.shape[0],), 500.0, jnp.float32)
+                return forward_with_cfg(
+                    lambda xx, tt, yy: apply_fn(p_, xx, tt, yy),
+                    zz, tb, y, args.cfg_scale, cin)[..., :cin]
+            return f, (params, z0)
+        aux = dit_schedule_mods(model, params, sched.node[:n, 0], y)
+        m0 = jax.tree.map(lambda a_: a_[0], aux)
+        def f(p_, zz, mods):
+            tb = jnp.full((zz.shape[0],), 500.0, jnp.float32)
+            return forward_with_cfg(
+                lambda xx, tt, yy: apply_fn(p_, xx, tt, yy, mods=mods),
+                zz, tb, y, args.cfg_scale, cin)[..., :cin]
+        return f, (params, z0, m0)
+
+    f1, fargs = _one_step()
+    flops_fwd = flops_from_lowered(jax.jit(f1).lower(*fargs))
+    if args.flops_only:
+        if flops_fwd is None:
+            raise RuntimeError("cost analysis unavailable on CPU platform")
+        print(flops_fwd)
+        return 0
+    if flops_fwd is None:
+        sub = ["--model", args.model, "--steps", str(n), "--batch", str(b),
+               "--cfg-scale", str(args.cfg_scale)]
+        sub += ["--no-mods"] if args.no_mods else []
+        sub += ["--toy"] if args.toy else []
+        flops_fwd = flops_via_cpu_subprocess(
+            "naturaldiffusion_tpu.apps.bench_dit", sub)
+        flops_source = "cpu_compiled"
+    else:
+        flops_source = "lowering"
 
     def body(p_, z):
         def apply_fn(xx, tt, yy, mods=None):
@@ -118,6 +174,9 @@ def main(argv=None) -> int:
         "sec_per_image": round(dt / b, 6),
         "transformer_fwd_ms": round(dt / (n * b) * 1e3, 4),
         "img_per_min_per_chip": round(60.0 * b / dt, 1),
+        "flops_per_fwd": flops_fwd,
+        "flops_source": flops_source,
+        "mfu": round(flops_fwd * n / (dt * V5E_BF16_PEAK), 4),
     }))
     return 0
 

@@ -42,7 +42,12 @@ def main(argv=None) -> int:
                         "(A/B control: recompute adaLN mods every step)")
     p.add_argument("--toy", action="store_true",
                    help="tiny MMDiT (smoke tests — timing meaningless)")
+    p.add_argument("--flops-only", action="store_true",
+                   help="(internal) print FLOPs of one CFG forward on the "
+                        "CPU platform and exit")
     args = p.parse_args(argv)
+    if args.flops_only:
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = SD3_MEDIUM
     if args.toy:
@@ -62,14 +67,74 @@ def main(argv=None) -> int:
                                (b, cfg.pooled_projection_dim),
                                jnp.bfloat16) * 0.02
 
-    params = jax.jit(lambda k: model.init(
-        k, noises[:1], jnp.zeros(1), ctx[:1].astype(jnp.float32),
-        pooled[:1].astype(jnp.float32))["params"])(jax.random.PRNGKey(3))
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    if args.flops_only:
+        shapes = jax.eval_shape(lambda k: model.init(
+            k, noises[:1], jnp.zeros(1), ctx[:1].astype(jnp.float32),
+            pooled[:1].astype(jnp.float32))["params"], jax.random.PRNGKey(3))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                              shapes)
+    else:
+        params = jax.jit(lambda k: model.init(
+            k, noises[:1], jnp.zeros(1), ctx[:1].astype(jnp.float32),
+            pooled[:1].astype(jnp.float32))["params"])(jax.random.PRNGKey(3))
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     n_par = sum(a.size for a in jax.tree.leaves(params))
 
     w = sd3_euler_weights(args.steps)
     sched = NISchedule.from_matrix(sd3_weight_matrix(w, args.steps))
+
+    # auditable MFU denominator: FLOPs of ONE CFG step-forward in the mode
+    # actually timed (see bench_dit.py / bench.py for the pattern)
+    from ..utils.flops import (V5E_BF16_PEAK, flops_from_lowered,
+                               flops_via_cpu_subprocess)
+
+    def _one_step():
+        z = noises.astype(jnp.bfloat16)
+        if args.no_mods:
+            def f(p, zz):
+                fwd = make_cfg_fwd(model, p, context=ctx, pooled=pooled,
+                                   neg_context=jnp.zeros_like(ctx),
+                                   neg_pooled=jnp.zeros_like(pooled))
+                return fwd(zz, 0.5)
+            return f, (params, z)
+
+        # the hoisted conditioning is computed once per RUN, not per step —
+        # build the per-step mods slice outside so the one-step cost counts
+        # only the in-loop work (the hoist chain inside f is unused and DCEd
+        # before compiled-cost analysis)
+        _, aux0 = make_cfg_fwd_mods(
+            model, params, context=ctx, pooled=pooled,
+            neg_context=jnp.zeros_like(ctx),
+            neg_pooled=jnp.zeros_like(pooled),
+            t_all=sched.node[:args.steps, 0])
+        m0 = jax.tree.map(lambda a_: a_[0], aux0)
+
+        def f(p, zz, mods):
+            fwd, _ = make_cfg_fwd_mods(
+                model, p, context=ctx, pooled=pooled,
+                neg_context=jnp.zeros_like(ctx),
+                neg_pooled=jnp.zeros_like(pooled),
+                t_all=sched.node[:args.steps, 0])
+            return fwd(zz, 0.5, mods)
+        return f, (params, z, m0)
+
+    f1, fargs = _one_step()
+    flops_fwd = flops_from_lowered(jax.jit(f1).lower(*fargs))
+    if args.flops_only:
+        if flops_fwd is None:
+            raise RuntimeError("cost analysis unavailable on CPU platform")
+        print(flops_fwd)
+        return 0
+    if flops_fwd is None:
+        sub = ["--latent", str(hw), "--steps", str(args.steps),
+               "--batch", str(b), "--ctx", str(args.ctx)]
+        sub += ["--no-mods"] if args.no_mods else []
+        sub += ["--toy"] if args.toy else []
+        flops_fwd = flops_via_cpu_subprocess(
+            "naturaldiffusion_tpu.apps.bench_sd3", sub)
+        flops_source = "cpu_compiled"
+    else:
+        flops_source = "lowering"
 
     # scan, not unroll (28 unrolled 2B-transformer copies is an
     # unreasonable XLA graph), and params as a jit ARGUMENT (closure
@@ -114,6 +179,9 @@ def main(argv=None) -> int:
         "sec_per_image": round(dt / b, 6),
         "transformer_fwd_ms": round(dt / (args.steps * 2 * b) * 1e3, 4),
         "img_per_min_per_chip": round(60.0 * b / dt, 2),
+        "flops_per_fwd": flops_fwd,
+        "flops_source": flops_source,
+        "mfu": round(flops_fwd * args.steps / (dt * V5E_BF16_PEAK), 4),
     }))
     return 0
 

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
                    help="jax.checkpoint the model (HBM for FLOPs trade)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision: bf16 fwd/bwd, f32 master state")
+    p.add_argument("--micro", type=int, default=0,
+                   help="gradient-accumulation chunk size (0 = monolithic); "
+                        "the training twin of the inference micro-batch win")
     p.add_argument("--trace", default=None)
     args = p.parse_args(argv)
 
@@ -58,6 +61,13 @@ def main(argv=None) -> int:
         return model.apply({"params": p_}, x, t_label)
 
     init_fn, step_fn = make_train_step(
+        VPSDE(), apply_fn, warmup=5000, remat=args.remat,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        micro=args.micro)
+    # FLOPs always from the MONOLITHIC step: the micro path's grad-accum
+    # scan would be counted once by HloCostAnalysis (the r4 while-loop bug
+    # below), and the math is identical either way
+    _, step_plain = make_train_step(
         VPSDE(), apply_fn, warmup=5000, remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
     state = jax.jit(init_fn)(params)
@@ -80,7 +90,7 @@ def main(argv=None) -> int:
     # caught in r4 when the "f32 train step" came out at 11.6 TFLOP/s
     # while a lone forward at the same batch was already 2.6 TFLOP
     # (PERF.md, training-substrate section).
-    comp1 = jax.jit(step_fn).lower(
+    comp1 = jax.jit(step_plain).lower(
         state, jax.random.PRNGKey(2), batch).compile()
     ca = comp1.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
@@ -105,7 +115,7 @@ def main(argv=None) -> int:
     print(json.dumps({
         "model": f"ncsnpp-vp ({n_par / 1e6:.1f}M params)",
         "batch": args.batch, "chain": args.chain, "remat": args.remat,
-        "bf16": args.bf16,
+        "bf16": args.bf16, "micro": args.micro,
         "step_ms": round(dt * 1e3, 2),
         "img_per_sec": round(args.batch / dt, 1),
         "flops_per_step": flops_per_step,

@@ -71,6 +71,10 @@ class NIN(nn.Module):
         w = self.param("W", default_init(self.init_scale),
                        (in_dim, self.num_units))
         b = self.param("b", jax.nn.initializers.zeros, (self.num_units,))
+        from ..ops import quant as qops
+        if (qops.quant_enabled() == "int8_all"     # measured loser; opt-in
+                and in_dim % 128 == 0 and self.num_units % 128 == 0):
+            return qops.conv1x1_int8(x, w.astype(x.dtype), b)
         return jnp.einsum("...c,cd->...d", x, w) + b
 
 
@@ -106,6 +110,13 @@ class PConv3x3(nn.Module):
             return pconv.conv3x3_gn_pallas(
                 x, kernel, bias, pre=pre, pre_act=pre_act, skip=skip,
                 skip_rescale=skip_rescale, emit_stats=emit_stats)
+        from ..ops import quant as qops
+        if (qops.quant_enabled() in ("int8", "int8_all")
+                and cin % 128 == 0 and self.features % 128 == 0):
+            # W8A8 int8 MXU path (NATDIFF_QUANT=int8): lane-aligned resblock
+            # convs only — the 3->nf stem and nf->3 head stay on the float
+            # path (negligible FLOPs, accuracy-critical endpoints)
+            return qops.conv3x3_int8(x, kernel, bias)
         if (pconv.pallas_conv_enabled()
                 and cin % 128 == 0 and self.features % 128 == 0):
             for variant in (pconv.default_variant(),
@@ -132,8 +143,38 @@ def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
                     name=name)
 
 
+class PConv1x1(nn.Module):
+    """``nn.Conv`` twin for 1x1/stride-1 convs (same param tree) with the
+    W8A8 dispatch — shortcut Conv_2's of every BigGAN resblock."""
+    features: int
+    use_bias: bool = True
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init or default_init(),
+                            (1, 1, cin, self.features))
+        bias = (self.param("bias", jax.nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        dt = jnp.result_type(x, kernel, *(() if bias is None else (bias,)))
+        x, kernel = x.astype(dt), kernel.astype(dt)
+        bias = None if bias is None else bias.astype(dt)
+        from ..ops import quant as qops
+        if (qops.quant_enabled() == "int8_all"     # measured loser; opt-in
+                and cin % 128 == 0 and self.features % 128 == 0):
+            return qops.conv1x1_int8(x, kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y if bias is None else y + bias
+
+
 def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
             init_scale: float = 1.0, name=None):
+    if stride == 1:
+        return PConv1x1(out_ch, use_bias=bias,
+                        kernel_init=default_init(init_scale), name=name)
     return nn.Conv(out_ch, (1, 1), strides=(stride, stride), padding="VALID",
                    use_bias=bias, kernel_init=default_init(init_scale),
                     name=name)

@@ -45,7 +45,8 @@ def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
                     likelihood_weighting: bool = False,
                     continuous: bool = True,
                     remat: bool = False,
-                    compute_dtype=None):
+                    compute_dtype=None,
+                    micro: int = 0):
     """Returns (init_fn(params) -> TrainState, step_fn(state, key, batch) ->
     (state, loss)).  ``apply_fn(params, x, t_label) -> model output``.
 
@@ -60,7 +61,16 @@ def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
     of: master params, Adam moments, EMA, loss, and grads all stay f32;
     only the network fwd/bwd runs in bf16 (the MXU's native dtype — 4x
     the f32 matmul peak on v5e).  The default ``None`` keeps bit-for-bit
-    reference-parity f32."""
+    reference-parity f32.
+
+    ``micro=M`` (0 = off) is gradient accumulation: the batch is processed
+    in M-sample chunks under ``lax.scan``, f32 grads/loss accumulated in
+    the carry — the training twin of the inference micro-batch lesson
+    (PERF.md: small chunks keep the activation working set VMEM-resident
+    where a monolithic batch spills to HBM).  Equal-size chunks make the
+    mean-of-means exact; the per-chunk RNG folds ``key`` per chunk, so
+    the drawn (t, noise) differ from the monolithic step — statistically
+    identical, bitwise not."""
     tx = make_optimizer(lr=lr, warmup=warmup, grad_clip=grad_clip)
     if compute_dtype is not None:
         base_apply = apply_fn
@@ -82,7 +92,30 @@ def make_train_step(sde, apply_fn: Callable, *, lr: float = 2e-4,
                            continuous=continuous)
 
     def step_fn(state: TrainState, key, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
+        if micro and batch.shape[0] > micro:
+            if batch.shape[0] % micro:
+                raise ValueError(
+                    f"micro={micro} must divide batch {batch.shape[0]}")
+            n = batch.shape[0] // micro
+            chunks = batch.reshape(n, micro, *batch.shape[1:])
+            keys = jax.random.split(key, n)
+
+            def body(carry, xk):
+                x, k = xk
+                l, g = jax.value_and_grad(loss_fn)(state.params, k, x)
+                # f32 loss carry regardless of input dtype (x64 test islands)
+                return (carry[0] + l.astype(jax.numpy.float32),
+                        jax.tree.map(jax.numpy.add, carry[1], g)), None
+
+            g0 = jax.tree.map(jax.numpy.zeros_like, state.params)
+            (lsum, gsum), _ = jax.lax.scan(
+                body, (jax.numpy.zeros((), jax.numpy.float32), g0),
+                (chunks, keys))
+            loss = lsum / n
+            grads = jax.tree.map(lambda a: a / n, gsum)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, key,
+                                                      batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=params,
