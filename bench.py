@@ -38,6 +38,17 @@ import jax                                    # noqa: E402
 import jax.numpy as jnp                       # noqa: E402
 import numpy as np                            # noqa: E402
 
+# Default inference mode: W8A8 int8 resblock convs (the r5 measured winner:
+# 811.6 vs 740.2 img/s bf16 on chip, accuracy at the bf16 noise floor —
+# results/perf_r5/{bench_int8,bench_control,quant_accuracy}.json).
+# BENCH_QUANT="" reverts to pure bf16; any other value selects that
+# NATDIFF_QUANT mode (int8_static, int8_all) for A/B cells.
+_BQ = os.environ.get("BENCH_QUANT", "int8")
+if _BQ:
+    os.environ["NATDIFF_QUANT"] = _BQ
+else:
+    os.environ.pop("NATDIFF_QUANT", None)
+
 MICRO = int(os.environ.get("BENCH_MICRO", "64"))
 # per-chunk batch (VMEM-resident sweet spot, see above); env-overridable
 # for micro-batch sweeps without editing the file

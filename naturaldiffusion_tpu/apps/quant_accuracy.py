@@ -53,6 +53,8 @@ def main(argv=None) -> int:
         int(x) for x in s.split(",")), default=(1, 2, 2, 2))
     p.add_argument("--num-res-blocks", type=int, default=4)
     p.add_argument("--out", default=None)
+    p.add_argument("--mode", default="int8",
+                   choices=("int8", "int8_static", "int8_all"))
     args = p.parse_args(argv)
 
     model = NCSNpp(config=NCSNppConfig(
@@ -99,7 +101,7 @@ def main(argv=None) -> int:
         return run_engine
 
     out_bf16 = np.asarray(jax.jit(_runner())())
-    os.environ["NATDIFF_QUANT"] = "int8"
+    os.environ["NATDIFF_QUANT"] = args.mode
     out_int8 = np.asarray(jax.jit(_runner())())
     os.environ.pop("NATDIFF_QUANT")
 
@@ -116,7 +118,8 @@ def main(argv=None) -> int:
     i8_or, i8_or_max = _mae(out_int8, oracle)
     scale = float(np.abs(oracle).mean())
     report = {
-        "weights": weights_src, "steps": args.steps, "batch": args.batch,
+        "weights": weights_src, "mode": args.mode,
+        "steps": args.steps, "batch": args.batch,
         "output_mean_abs": round(scale, 5),
         "mae_int8_vs_bf16": i8_bf, "max_int8_vs_bf16": i8_bf_max,
         "mae_bf16_vs_fp64oracle": bf_or, "max_bf16_vs_fp64oracle": bf_or_max,

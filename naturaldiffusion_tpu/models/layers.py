@@ -111,12 +111,18 @@ class PConv3x3(nn.Module):
                 x, kernel, bias, pre=pre, pre_act=pre_act, skip=skip,
                 skip_rescale=skip_rescale, emit_stats=emit_stats)
         from ..ops import quant as qops
-        if (qops.quant_enabled() in ("int8", "int8_all")
+        qmode = qops.quant_enabled()
+        if (qmode in ("int8", "int8_all", "int8_static")
                 and cin % 128 == 0 and self.features % 128 == 0):
             # W8A8 int8 MXU path (NATDIFF_QUANT=int8): lane-aligned resblock
             # convs only — the 3->nf stem and nf->3 head stay on the float
-            # path (negligible FLOPs, accuracy-critical endpoints)
-            return qops.conv3x3_int8(x, kernel, bias)
+            # path (negligible FLOPs, accuracy-critical endpoints).
+            # int8_static: fixed clip range (every quantized conv input here
+            # is a GN(+SiLU) output) — drops the dynamic amax pass
+            return qops.conv3x3_int8(
+                x, kernel, bias,
+                act_amax=qops.static_amax() if qmode == "int8_static"
+                else None)
         if (pconv.pallas_conv_enabled()
                 and cin % 128 == 0 and self.features % 128 == 0):
             for variant in (pconv.default_variant(),

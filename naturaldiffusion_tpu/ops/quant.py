@@ -63,7 +63,19 @@ def quant_enabled() -> str | None:
     per mode (apps/quant_accuracy.py pattern); across processes the bench.py
     one-env-per-process pattern is immune."""
     v = os.environ.get("NATDIFF_QUANT", "")
-    return v if v in ("int8", "int8_all") else None
+    return v if v in ("int8", "int8_all", "int8_static") else None
+
+
+def static_amax() -> float:
+    """Activation clip range for ``int8_static`` (``NATDIFF_QUANT_AMAX``).
+
+    Every quantized conv input in NCSN++ is a GroupNorm(+SiLU) output, so
+    its range is ~N(0,1) silu-rectified times the learned affine — a fixed
+    clip at 6.0 covers >5 sigma at random init.  Static scales delete the
+    per-conv amax reduction pass (the dynamic path's main overhead), at the
+    cost of clipping outliers; the A/B and the accuracy delta are measured,
+    not assumed (results/perf_r5)."""
+    return float(os.environ.get("NATDIFF_QUANT_AMAX", "6.0"))
 
 
 def quantize_weight(w, axis=-1):
@@ -96,23 +108,38 @@ def quantize_act(x, per_sample: bool = True):
     return x_i8, s_x
 
 
+def quantize_act_static(x, amax: float):
+    """Static symmetric activation quantization: a compile-time clip range
+    instead of the dynamic amax reduction — one fewer pass over the
+    activations, outliers saturate at ±amax."""
+    s = amax / _QMAX
+    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)),
+                    -_QMAX, _QMAX).astype(jnp.int8)
+    return x_i8, s
+
+
 def conv3x3_int8(x, w, bias=None, *, per_sample: bool = True,
-                 w_i8=None, s_w=None):
+                 w_i8=None, s_w=None, act_amax: float | None = None):
     """3x3/stride-1/SAME conv computed on the int8 MXU path.
 
     ``x``: [B,H,W,Cin] activations (any float dtype), ``w``: [3,3,Cin,Cout]
     float kernel (quantized in-graph unless a pre-quantized ``(w_i8, s_w)``
-    pair is supplied).  Output: x.dtype, same spatial shape.
+    pair is supplied).  ``act_amax``: static activation clip range (skips
+    the dynamic amax pass).  Output: x.dtype, same spatial shape.
     """
     if w_i8 is None:
         w_i8, s_w = quantize_weight(w)          # s_w: [1,1,1,Cout]
-    x_i8, s_x = quantize_act(x, per_sample=per_sample)
+    if act_amax is not None:
+        x_i8, s_x = quantize_act_static(x, act_amax)
+        scale = s_x * s_w.reshape(1, 1, 1, -1)
+    else:
+        x_i8, s_x = quantize_act(x, per_sample=per_sample)
+        scale = (s_x.reshape(s_x.shape[0] if per_sample else 1, 1, 1, 1)
+                 * s_w.reshape(1, 1, 1, -1))
     y = jax.lax.conv_general_dilated(
         x_i8, w_i8, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    scale = (s_x.reshape(s_x.shape[0] if per_sample else 1, 1, 1, 1)
-             * s_w.reshape(1, 1, 1, -1))
     out = y.astype(jnp.float32) * scale
     if bias is not None:
         out = out + bias.astype(jnp.float32)

@@ -93,6 +93,20 @@ def test_model_quant_dispatch(monkeypatch):
     assert _rel(y_q, y_f) < 5e-2
 
 
+def test_conv3x3_int8_static_close_to_float():
+    key = jax.random.PRNGKey(5)
+    x = jnp.tanh(jax.random.normal(key, (2, 8, 8, 128), jnp.float32)) * 3.0
+    w = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 128, 128),
+                          jnp.float32) * 0.05
+    y_ref = conv3x3_xla(x, w, None)
+    y_q = conv3x3_int8(x, w, act_amax=6.0)
+    assert _rel(y_q, y_ref) < 3e-2
+    # out-of-range inputs saturate instead of wrapping
+    xb = x.at[0, 0, 0, 0].set(50.0)
+    yb = conv3x3_int8(xb, w, act_amax=6.0)
+    assert np.isfinite(np.asarray(yb)).all()
+
+
 def test_quant_flag_off_is_float_path(monkeypatch):
     monkeypatch.delenv("NATDIFF_QUANT", raising=False)
     from naturaldiffusion_tpu.ops.quant import quant_enabled
