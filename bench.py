@@ -38,17 +38,6 @@ import jax                                    # noqa: E402
 import jax.numpy as jnp                       # noqa: E402
 import numpy as np                            # noqa: E402
 
-# Default inference mode: W8A8 int8 resblock convs (the r5 measured winner:
-# 811.6 vs 740.2 img/s bf16 on chip, accuracy at the bf16 noise floor —
-# results/perf_r5/{bench_int8,bench_control,quant_accuracy}.json).
-# BENCH_QUANT="" reverts to pure bf16; any other value selects that
-# NATDIFF_QUANT mode (int8_static, int8_all) for A/B cells.
-_BQ = os.environ.get("BENCH_QUANT", "int8")
-if _BQ:
-    os.environ["NATDIFF_QUANT"] = _BQ
-else:
-    os.environ.pop("NATDIFF_QUANT", None)
-
 MICRO = int(os.environ.get("BENCH_MICRO", "64"))
 # per-chunk batch (VMEM-resident sweet spot, see above); env-overridable
 # for micro-batch sweeps without editing the file
@@ -88,6 +77,30 @@ def _flops_subprocess() -> float:
 
 def main(trace_dir: str | None = None, flops_only: bool = False,
          warm_only: bool = False):
+    # Default inference mode: W8A8 int8 resblock convs (the r5 measured
+    # winner: 811.6 vs 740.2 img/s bf16 on chip, accuracy at the bf16 noise
+    # floor — results/perf_r5/{bench_int8,bench_control,quant_accuracy}.json).
+    # BENCH_QUANT="" reverts to pure bf16; other values (int8_static,
+    # int8_all) select that NATDIFF_QUANT mode for A/B cells.  Set inside
+    # main() (trace time) and restored after, so importing/benching never
+    # leaks the flag into the process env (the test suite shares it).
+    bq = os.environ.get("BENCH_QUANT", "int8")
+    prev_q = os.environ.get("NATDIFF_QUANT")
+    if bq:
+        os.environ["NATDIFF_QUANT"] = bq
+    else:
+        os.environ.pop("NATDIFF_QUANT", None)
+    try:
+        _main(trace_dir, flops_only, warm_only)
+    finally:
+        if prev_q is None:
+            os.environ.pop("NATDIFF_QUANT", None)
+        else:
+            os.environ["NATDIFF_QUANT"] = prev_q
+
+
+def _main(trace_dir: str | None = None, flops_only: bool = False,
+          warm_only: bool = False):
     from naturaldiffusion_tpu.models.ncsnpp import (NCSNpp,
                                                     CIFAR10_DDPMPP_CONTINUOUS,
                                                     ncsnpp_schedule_biases)
