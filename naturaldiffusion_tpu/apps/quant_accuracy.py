@@ -95,9 +95,12 @@ def main(argv=None) -> int:
         # re-jitting the same object after an env flip would silently reuse
         # the old trace (see ops/quant.py docstring)
         def run_engine():
+            # unroll=False: one model copy in the XLA program (the unrolled
+            # 10-step graph compiles for ~40 min through the tunnel)
             return natural_inference(
                 eps_bf16, sched, z0, prediction_type="eps",
-                model_dtype=jnp.bfloat16, noises=jnp.asarray(noises))
+                model_dtype=jnp.bfloat16, noises=jnp.asarray(noises),
+                unroll=False)
         return run_engine
 
     out_bf16 = np.asarray(jax.jit(_runner())())

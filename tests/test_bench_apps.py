@@ -30,6 +30,9 @@ def test_bench_sd3_toy(capsys, extra):
     assert rec["model"].startswith("toy-mmdit")
     assert rec["steps"] == 3
     assert np.isfinite(rec["sec_per_image"]) and rec["sec_per_image"] > 0
+    # r5: auditable MFU fields (utils/flops.py)
+    assert rec["flops_per_fwd"] > 0 and 0 <= rec["mfu"]
+    assert rec["flops_source"] in ("lowering", "cpu_compiled")
 
 
 def test_bench_conv_toy(capsys):
@@ -79,3 +82,5 @@ def test_bench_dit_toy(capsys, extra):
     rec = _last_json(capsys)
     assert rec["model"].startswith("toy-dit")
     assert np.isfinite(rec["sec_per_image"]) and rec["sec_per_image"] > 0
+    assert rec["flops_per_fwd"] > 0 and 0 <= rec["mfu"]
+    assert rec["flops_source"] in ("lowering", "cpu_compiled")
