@@ -58,6 +58,42 @@ def modulate(x, shift, scale):
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
+class QDense(nn.Module):
+    """``nn.Dense`` twin (same param tree) with a weight-only-int8 path.
+
+    Under ``NATDIFF_QUANT=w8`` the kernel is per-channel-quantized in-graph
+    (loop-invariant → LICM hoists the int8 tensor out of the NI scan) and
+    the matmul runs as the Pallas dequant-in-VMEM kernel
+    (:mod:`naturaldiffusion_tpu.ops.qmatmul`) — the weight-read-bound
+    transformer step reads HALF the bytes.  Float path bit-matches
+    ``nn.Dense`` otherwise."""
+    features: int
+    use_bias: bool = True
+    kernel_init: object = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        dt = jnp.result_type(x, k, *(() if b is None else (b,)))
+        x, k = x.astype(dt), k.astype(dt)
+        b = None if b is None else b.astype(dt)
+        import os
+        if os.environ.get("NATDIFF_QUANT", "") == "w8":
+            from ..ops.qmatmul import matmul_wdq, qmatmul_ok
+            from ..ops.quant import quantize_weight
+            m = 1
+            for dd in x.shape[:-1]:
+                m *= dd
+            if qmatmul_ok(m, x.shape[-1], self.features):
+                w_i8, s_w = quantize_weight(k, axis=-1)
+                return matmul_wdq(x, w_i8, s_w.reshape(-1), b)
+        y = x @ k
+        return y if b is None else y + b
+
+
 class Attention(nn.Module):
     """timm-style multi-head attention (qkv_bias=True, no attn/proj drop);
     rides the Pallas flash kernel on TPU (``ops/attention.py``).
@@ -72,12 +108,12 @@ class Attention(nn.Module):
         from ..ops.attention import mha
         b, t, d = x.shape
         h = self.num_heads
-        qkv = nn.Dense(3 * d, use_bias=True, name="qkv")(x)
+        qkv = QDense(3 * d, use_bias=True, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, h, d // h), 3, axis=2)
         q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
         y = mha(q, k, v, backend=self.attn_backend, mesh=self.mesh)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, use_bias=True, name="proj")(y)
+        return QDense(d, use_bias=True, name="proj")(y)
 
 
 class Mlp(nn.Module):
@@ -86,9 +122,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = QDense(self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(d, name="fc2")(x)
+        return QDense(d, name="fc2")(x)
 
 
 class DiTBlock(nn.Module):

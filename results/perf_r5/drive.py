@@ -71,6 +71,21 @@ rel = float(jnp.abs(y_s - y_f).max() / (jnp.abs(y_f).max() + 1e-12))
 assert np.isfinite(np.asarray(y_s)).all() and rel < 3e-2, rel
 print(f"4a'. int8_static conv compiled, rel err vs float {rel:.2e}")
 
+# 4a''. weight-only-int8 Pallas matmul COMPILED (Mosaic, not interpret)
+from naturaldiffusion_tpu.ops.qmatmul import matmul_wdq
+from naturaldiffusion_tpu.ops.quant import quantize_weight as _qw
+xm = jax.random.normal(jax.random.PRNGKey(8), (256, 1152), jnp.bfloat16)
+wm = jax.random.normal(jax.random.PRNGKey(9), (1152, 4608),
+                       jnp.float32) * 0.03
+wi, sw = _qw(wm, axis=-1)
+ym = matmul_wdq(xm, wi, sw.reshape(-1))
+ref = (np.asarray(xm, np.float64)
+       @ (np.asarray(wi, np.float64) * np.asarray(sw, np.float64)))
+relm = np.abs(np.asarray(ym, np.float64) - ref).max() / (
+    np.abs(ref).max() + 1e-12)
+assert relm < 2e-2, relm
+print(f"4a''. w8 Pallas matmul compiled == dequant oracle (rel {relm:.2e})")
+
 # 4b. model-level quant forward on chip: finite + close to float path
 import os
 from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, CIFAR10_DDPMPP_CONTINUOUS
