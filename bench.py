@@ -84,7 +84,12 @@ def main(trace_dir: str | None = None, flops_only: bool = False,
     # int8_all) select that NATDIFF_QUANT mode for A/B cells.  Set inside
     # main() (trace time) and restored after, so importing/benching never
     # leaks the flag into the process env (the test suite shares it).
-    bq = os.environ.get("BENCH_QUANT", "int8")
+    bq = os.environ.get("BENCH_QUANT")
+    if bq is None:
+        # int8 by default ONLY on the accelerator: XLA:CPU lowers s8 convs
+        # to a reference path (a 2-step toy bench costs 24 CPU-minutes),
+        # so the CPU smoke tests keep the float path
+        bq = "int8" if jax.default_backend() != "cpu" else ""
     prev_q = os.environ.get("NATDIFF_QUANT")
     if bq:
         os.environ["NATDIFF_QUANT"] = bq
