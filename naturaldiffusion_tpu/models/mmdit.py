@@ -24,6 +24,8 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+
+from .dit import QDense
 import jax
 import jax.numpy as jnp
 
@@ -153,12 +155,12 @@ class JointBlock(nn.Module):
             b, t, _ = v.shape
             return v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
 
-        q = heads(nn.Dense(d, name="attn_to_q")(x_in))
-        k = heads(nn.Dense(d, name="attn_to_k")(x_in))
-        v = heads(nn.Dense(d, name="attn_to_v")(x_in))
-        cq = heads(nn.Dense(d, name="attn_add_q_proj")(c_in))
-        ck = heads(nn.Dense(d, name="attn_add_k_proj")(c_in))
-        cv = heads(nn.Dense(d, name="attn_add_v_proj")(c_in))
+        q = heads(QDense(d, name="attn_to_q")(x_in))
+        k = heads(QDense(d, name="attn_to_k")(x_in))
+        v = heads(QDense(d, name="attn_to_v")(x_in))
+        cq = heads(QDense(d, name="attn_add_q_proj")(c_in))
+        ck = heads(QDense(d, name="attn_add_k_proj")(c_in))
+        cv = heads(QDense(d, name="attn_add_v_proj")(c_in))
 
         if self.qk_norm:
             # four SEPARATE norms with their own scales — diffusers SD3.5
@@ -191,11 +193,11 @@ class JointBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, t_all, d)
         o_x, o_c = o[:, :t_x], o[:, t_x:]
 
-        x = x + g1[:, None, :] * nn.Dense(d, name="attn_to_out_0")(o_x)
+        x = x + g1[:, None, :] * QDense(d, name="attn_to_out_0")(o_x)
         if self.context_pre_only:
             xm = moded(ln(x), sh2, sc2)
-            ff = nn.Dense(4 * d, name="ff_net_0_proj")(xm)
-            ff = nn.Dense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
+            ff = QDense(4 * d, name="ff_net_0_proj")(xm)
+            ff = QDense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
             return x + g2[:, None, :] * ff, None
 
         # both residual adds first, then ONE LN stats pass over the pair
@@ -204,11 +206,11 @@ class JointBlock(nn.Module):
             d, name="attn_to_add_out")(o_c)
         lx2, lc2 = ln_pair(x, ctx)
         xm = moded(lx2, sh2, sc2)
-        ff = nn.Dense(4 * d, name="ff_net_0_proj")(xm)
-        ff = nn.Dense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
+        ff = QDense(4 * d, name="ff_net_0_proj")(xm)
+        ff = QDense(d, name="ff_net_2")(nn.gelu(ff, approximate=True))
         x = x + g2[:, None, :] * ff
         cm = moded(lc2, cmods[3], cmods[4])
-        cff = nn.Dense(4 * d, name="ff_context_net_0_proj")(cm)
+        cff = QDense(4 * d, name="ff_context_net_0_proj")(cm)
         cff = nn.Dense(d, name="ff_context_net_2")(
             nn.gelu(cff, approximate=True))
         ctx = ctx + cmods[5][:, None, :] * cff

@@ -39,6 +39,34 @@ def test_qmatmul_no_bias_and_gate():
     assert not qmatmul_ok(7, 128, 128)         # M has no sublane block
 
 
+def test_mmdit_w8_forward_close(monkeypatch):
+    from naturaldiffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
+    cfg = MMDiTConfig(sample_size=16, patch_size=2, in_channels=4,
+                      hidden_size=128, depth=2, num_heads=4,
+                      caption_projection_dim=128, joint_attention_dim=32,
+                      pooled_projection_dim=48, pos_embed_max_size=16)
+    model = MMDiT(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4)) * 0.3
+    t = jnp.array([0.2, 0.8])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32)) * 0.1
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 48)) * 0.1
+    params = model.init(jax.random.PRNGKey(3), x, t, ctx, pooled)["params"]
+    # zero-init output head: perturb so the forward carries signal
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(4), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        a + 0.02 * jax.random.normal(k, a.shape, a.dtype)
+        for a, k in zip(leaves, keys)])
+    want = model.apply({"params": params}, x, t, ctx, pooled)
+    monkeypatch.setenv("NATDIFF_QUANT", "w8")
+    got = model.apply({"params": params}, x, t, ctx, pooled)
+    a = np.asarray(want, np.float64).ravel()
+    c = np.asarray(got, np.float64).ravel()
+    assert np.isfinite(c).all()
+    cos = a @ c / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-12)
+    assert cos > 0.999, cos
+
+
 def test_dit_w8_forward_close(monkeypatch):
     from naturaldiffusion_tpu.models.dit import DiT, DiTConfig
     cfg = DiTConfig(input_size=16, patch_size=2, in_channels=4,
