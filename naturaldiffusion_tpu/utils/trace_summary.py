@@ -76,6 +76,12 @@ def summarize(logdir: str):
             if str(e.get("name", "")).isdigit():      # Steps-track markers
                 continue
             fam[_family(e["name"])] += e["dur"]
+    # control-flow containers (while/conditional/call) span their children,
+    # which are ALSO emitted as leaf events — counting both double-counts
+    # the loop body (seen in the r5 int8 trace: "while" at 50%).  Report
+    # leaves only; the container share is recoverable as total-vs-wall.
+    for k in ("while", "conditional", "call"):
+        fam.pop(k, None)
     return sum(fam.values()), dict(fam)
 
 
