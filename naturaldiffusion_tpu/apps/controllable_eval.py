@@ -51,6 +51,12 @@ def main(argv=None) -> int:
         int(x) for x in s.split(",")), default=(1, 2, 2, 2))
     p.add_argument("--num-res-blocks", type=int, default=4)
     p.add_argument("--snr", type=float, default=0.16)
+    p.add_argument("--predictor", default="reverse_diffusion",
+                   help="reference controllable default; the VP-config "
+                        "PC choice is euler_maruyama")
+    p.add_argument("--corrector", default="langevin",
+                   help="'none' = predictor-only (the reference's vpsde "
+                        "cifar10 PC config)")
     args = p.parse_args(argv)
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -85,8 +91,12 @@ def main(argv=None) -> int:
     mask = jnp.asarray(np.broadcast_to(m, data.shape))
 
     inpaint = jax.jit(get_pc_inpainter(sde, score_fn, snr=args.snr,
+                                       predictor=args.predictor,
+                                       corrector=args.corrector,
                                        inverse_scaler=inv))
     colorize = jax.jit(get_pc_colorizer(sde, score_fn, snr=args.snr,
+                                        predictor=args.predictor,
+                                        corrector=args.corrector,
                                         inverse_scaler=inv))
     gray = couple(decouple(data) * jnp.asarray(
         [1.0, 0.0, 0.0], data.dtype))      # luminance-only, model space
@@ -116,6 +126,9 @@ def main(argv=None) -> int:
         lum_in = np.asarray(decouple(gray))[..., 0]
         row = {
             "seed": s,
+            "predictor": args.predictor, "corrector": args.corrector,
+            "inpaint_absmax": float(np.abs(ip).max()),
+            "colorize_absmax": float(np.abs(co).max()),
             "inpaint_finite": bool(np.isfinite(ip).all()),
             "inpaint_known_mse": float(((ip - orig01)[known] ** 2).mean()),
             "inpaint_masked_mse": float(((ip - orig01)[~known] ** 2).mean()),
