@@ -70,12 +70,14 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: object = nn.initializers.lecun_normal()
+    param_dtype: object = jnp.float32          # nn.Dense's default
 
     @nn.compact
     def __call__(self, x):
         k = self.param("kernel", self.kernel_init,
-                       (x.shape[-1], self.features))
-        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+                       (x.shape[-1], self.features), self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        self.param_dtype)
              if self.use_bias else None)
         dt = jnp.result_type(x, k, *(() if b is None else (b,)))
         x, k = x.astype(dt), k.astype(dt)
