@@ -82,6 +82,8 @@ def bench_shape(shape, reps=50, runs=7):
         "int8_dyn": (_chain_f(lambda z: conv3x3_int8(z, w, bias), reps), x),
         "int8_pt": (_chain_f(
             lambda z: conv3x3_int8(z, w, bias, per_sample=False), reps), x),
+        "int8_st": (_chain_f(
+            lambda z: conv3x3_int8(z, w, bias, act_amax=6.0), reps), x),
         "int8_raw": (_chain_i8(raw, reps), x_i8),
     }
     errors, times = {}, {}
@@ -106,7 +108,7 @@ def bench_shape(shape, reps=50, runs=7):
     for k, msg in errors.items():
         out[f"{k}_error"] = msg
     if "bf16" in med:
-        for k in ("int8_dyn", "int8_pt", "int8_raw"):
+        for k in ("int8_dyn", "int8_pt", "int8_st", "int8_raw"):
             if k in med:
                 out[f"{k}_speedup"] = round(med["bf16"] / med[k], 3)
     return out
