@@ -63,6 +63,9 @@ def _steps(out: str, chip: bool, quick: bool):
             ("bench_quant_ops", py + ["naturaldiffusion_tpu.apps."
                                       "bench_quant_ops", "--reps", "20",
                                       "--runs", "5"]),
+            ("quant_accuracy", py + ["naturaldiffusion_tpu.apps."
+                                     "quant_accuracy",
+                                     "--out", f"{out}/quant_accuracy.json"]),
             ("sweep_cell", py + ["naturaldiffusion_tpu.apps.sweep",
                                  "--family", "deis", "--num", "256",
                                  "--batch", "256",
