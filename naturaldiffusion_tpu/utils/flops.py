@@ -39,8 +39,14 @@ def flops_via_cpu_subprocess(module: str, argv: list[str]) -> float:
     """Re-run ``python -m <module> --flops-only <argv>`` on the CPU platform
     and parse the one float it prints.  The child must force
     ``jax.config.update('jax_platforms', 'cpu')`` before first device use
-    (the image's sitecustomize pins the axon platform otherwise)."""
+    (the image's sitecustomize pins the axon platform otherwise).
+
+    Quant flags are STRIPPED from the child env: the FLOP denominator is
+    the same math either way, and the quantized paths dispatch to Pallas
+    kernels whose CPU cost analysis is meaningless (or unavailable)."""
+    import os
+    env = {k: v for k, v in os.environ.items() if k != "NATDIFF_QUANT"}
     out = subprocess.run(
         [sys.executable, "-m", module, "--flops-only", *argv],
-        capture_output=True, text=True, check=True)
+        capture_output=True, text=True, check=True, env=env)
     return float(out.stdout.strip().splitlines()[-1])
