@@ -56,6 +56,12 @@ def quant_enabled() -> str | None:
       the [B,HW,C] int8 dots plus their quant/dequant riders cost more than
       the bf16 einsums they replace at these shapes — kept opt-in per the
       repo's documented-revert convention (like the Pallas conv ladder).
+    * ``int8_static`` — int8 with a compile-time activation clip
+      (:func:`static_amax`) instead of the dynamic per-sample amax pass;
+      A/B + accuracy cells in results/perf_r5.
+    * ``w8`` (handled by ``models.dit.QDense``, not the conv path) —
+      weight-only int8 via the Pallas dequant matmul (ops/qmatmul.py) for
+      the weight-read-bound transformer steps.
 
     TRAP: jit's trace cache is keyed on function identity, not this env var —
     flipping the flag and re-jitting the SAME function object silently reuses
