@@ -72,9 +72,13 @@ class NIN(nn.Module):
                        (in_dim, self.num_units))
         b = self.param("b", jax.nn.initializers.zeros, (self.num_units,))
         from ..ops import quant as qops
-        if (qops.quant_enabled() == "int8_all"     # measured loser; opt-in
+        qmode = qops.quant_enabled()
+        if (qmode in ("int8_all", "int8_all_static")  # dyn: measured loser
                 and in_dim % 128 == 0 and self.num_units % 128 == 0):
-            return qops.conv1x1_int8(x, w.astype(x.dtype), b)
+            return qops.conv1x1_int8(
+                x, w.astype(x.dtype), b,
+                act_amax=qops.static_amax() if qmode == "int8_all_static"
+                else None)
         return jnp.einsum("...c,cd->...d", x, w) + b
 
 
@@ -112,17 +116,18 @@ class PConv3x3(nn.Module):
                 skip_rescale=skip_rescale, emit_stats=emit_stats)
         from ..ops import quant as qops
         qmode = qops.quant_enabled()
-        if (qmode in ("int8", "int8_all", "int8_static")
+        if (qmode in ("int8", "int8_all", "int8_static", "int8_all_static")
                 and cin % 128 == 0 and self.features % 128 == 0):
             # W8A8 int8 MXU path (NATDIFF_QUANT=int8): lane-aligned resblock
             # convs only — the 3->nf stem and nf->3 head stay on the float
             # path (negligible FLOPs, accuracy-critical endpoints).
-            # int8_static: fixed clip range (every quantized conv input here
-            # is a GN(+SiLU) output) — drops the dynamic amax pass
+            # int8_static / int8_all_static: fixed clip range (every
+            # quantized conv input here is a GN(+SiLU) output) — drops the
+            # dynamic amax pass
             return qops.conv3x3_int8(
                 x, kernel, bias,
-                act_amax=qops.static_amax() if qmode == "int8_static"
-                else None)
+                act_amax=qops.static_amax()
+                if qmode in ("int8_static", "int8_all_static") else None)
         if (pconv.pallas_conv_enabled()
                 and cin % 128 == 0 and self.features % 128 == 0):
             for variant in (pconv.default_variant(),
@@ -167,9 +172,13 @@ class PConv1x1(nn.Module):
         x, kernel = x.astype(dt), kernel.astype(dt)
         bias = None if bias is None else bias.astype(dt)
         from ..ops import quant as qops
-        if (qops.quant_enabled() == "int8_all"     # measured loser; opt-in
+        qmode = qops.quant_enabled()
+        if (qmode in ("int8_all", "int8_all_static")  # dyn: measured loser
                 and cin % 128 == 0 and self.features % 128 == 0):
-            return qops.conv1x1_int8(x, kernel, bias)
+            return qops.conv1x1_int8(
+                x, kernel, bias,
+                act_amax=qops.static_amax() if qmode == "int8_all_static"
+                else None)
         y = jax.lax.conv_general_dilated(
             x, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

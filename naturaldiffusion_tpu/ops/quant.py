@@ -58,7 +58,14 @@ def quant_enabled() -> str | None:
       repo's documented-revert convention (like the Pallas conv ladder).
     * ``int8_static`` — int8 with a compile-time activation clip
       (:func:`static_amax`) instead of the dynamic per-sample amax pass;
-      A/B + accuracy cells in results/perf_r5.
+      the r5 measured WINNER: 1034.5 img/s vs 811.6 dynamic / 740.2 bf16
+      (results/perf_r5/bench_int8_static.json) — with a constant scale the
+      quantize clamp and the dequant multiply fold into neighbouring
+      fusions instead of standing as data-dependent passes.
+    * ``int8_all_static`` — static scheme extended to the 1x1 shortcuts and
+      attention NINs.  The *dynamic* wide mode lost on the riders
+      (bench_int8_wide.json); static deletes exactly those riders, so the
+      wide question gets re-asked at the better operating point.
     * ``w8`` (handled by ``models.dit.QDense``, not the conv path) —
       weight-only int8 via the Pallas dequant matmul (ops/qmatmul.py) for
       the weight-read-bound transformer steps.
@@ -69,7 +76,8 @@ def quant_enabled() -> str | None:
     per mode (apps/quant_accuracy.py pattern); across processes the bench.py
     one-env-per-process pattern is immune."""
     v = os.environ.get("NATDIFF_QUANT", "")
-    return v if v in ("int8", "int8_all", "int8_static") else None
+    return (v if v in ("int8", "int8_all", "int8_static", "int8_all_static")
+            else None)
 
 
 def static_amax() -> float:
@@ -152,21 +160,28 @@ def conv3x3_int8(x, w, bias=None, *, per_sample: bool = True,
     return out.astype(x.dtype)
 
 
-def conv1x1_int8(x, w, bias=None, *, per_sample: bool = True):
+def conv1x1_int8(x, w, bias=None, *, per_sample: bool = True,
+                 act_amax: float | None = None):
     """1x1 conv / NIN (channel matmul) on the int8 path; same scheme.
 
     ``w``: [..., Cin, Cout] (a [1,1,Cin,Cout] conv kernel or a [Cin,Cout]
-    NIN matrix).  ``x``: [B, ..., Cin] with any number of middle axes."""
+    NIN matrix).  ``x``: [B, ..., Cin] with any number of middle axes.
+    ``act_amax``: static clip range (``int8_all_static``) — drops the
+    dynamic amax pass, same trade as :func:`conv3x3_int8`."""
     w2 = w.reshape(w.shape[-2], w.shape[-1])
     w_i8, s_w = quantize_weight(w2)             # s_w: [1, Cout]
-    x_i8, s_x = quantize_act(x, per_sample=per_sample)
+    if act_amax is not None:
+        x_i8, s_x = quantize_act_static(x, act_amax)
+        scale = s_x * s_w.reshape((1,) * (x.ndim - 1) + (-1,))
+    else:
+        x_i8, s_x = quantize_act(x, per_sample=per_sample)
+        bshape = (s_x.shape[0] if per_sample else 1,) + (1,) * (x.ndim - 1)
+        scale = s_x.reshape(bshape) * s_w.reshape(
+            (1,) * (x.ndim - 1) + (-1,))
     y = jax.lax.dot_general(
         x_i8.reshape(x.shape[0], -1, x.shape[-1]), w_i8,
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     y = y.reshape(*x.shape[:-1], w2.shape[-1])
-    bshape = (s_x.shape[0] if per_sample else 1,) + (1,) * (x.ndim - 1)
-    scale = s_x.reshape(bshape) * s_w.reshape(
-        (1,) * (x.ndim - 1) + (-1,))
     out = y.astype(jnp.float32) * scale
     if bias is not None:
         out = out + bias.astype(jnp.float32)

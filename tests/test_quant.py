@@ -115,3 +115,39 @@ def test_quant_flag_off_is_float_path(monkeypatch):
     assert quant_enabled() == "int8"
     monkeypatch.setenv("NATDIFF_QUANT", "garbage")
     assert quant_enabled() is None
+
+def test_conv1x1_int8_static_close_to_float():
+    # int8_all_static path: NIN/shortcut matmul with a compile-time clip
+    from naturaldiffusion_tpu.ops.quant import conv1x1_int8
+    x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(7),
+                                   (2, 8, 8, 128), jnp.float32)) * 3.0
+    w = jax.random.normal(jax.random.PRNGKey(8), (128, 128),
+                          jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(9), (128,), jnp.float32) * 0.1
+    y_ref = jnp.einsum("...c,cd->...d", x, w) + b
+    y_dyn = conv1x1_int8(x, w, b)
+    y_st = conv1x1_int8(x, w, b, act_amax=6.0)
+    assert _rel(y_dyn, y_ref) < 2e-2
+    assert _rel(y_st, y_ref) < 3e-2
+    # out-of-range saturates, stays finite
+    xb = x.at[0, 0, 0, 0].set(50.0)
+    assert np.isfinite(np.asarray(conv1x1_int8(xb, w, b, act_amax=6.0))).all()
+
+
+def test_model_quant_all_static_dispatch(monkeypatch):
+    # the combined mode must run every quantized surface and stay close
+    from naturaldiffusion_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+    cfg = NCSNppConfig(nf=128, ch_mult=(1,), num_res_blocks=1,
+                       attn_resolutions=(8,), image_size=8)
+    model = NCSNpp(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 8, 8, 3), jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(11), x, t)["params"]
+    y_f = model.apply({"params": params}, x, t)
+    monkeypatch.setenv("NATDIFF_QUANT", "int8_all_static")
+    y_q = model.apply({"params": params}, x, t)
+    assert np.isfinite(np.asarray(y_q)).all()
+    a = np.asarray(y_f, np.float64).ravel()
+    b = np.asarray(y_q, np.float64).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99
