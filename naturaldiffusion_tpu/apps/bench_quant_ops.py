@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv3x3 import conv3x3_xla
-from ..ops.quant import conv3x3_int8, quantize_act, quantize_weight
+from ..ops.quant import (conv1x1_int8, conv3x3_int8, quantize_act,
+                         quantize_weight)
 
 SHAPES = [
     (64, 32, 32, 128, 128),   # res-32 resblock convs
@@ -114,6 +115,57 @@ def bench_shape(shape, reps=50, runs=7):
     return out
 
 
+NIN_SHAPES = [
+    (64, 32, 32, 128, 128),   # attention NINs / res-32 shortcut
+    (64, 16, 16, 256, 256),   # res-16 attention NINs
+    (64, 32, 32, 256, 128),   # up-path 1x1 shortcut (concat input)
+]
+
+
+def bench_nin(shape, reps=50, runs=7):
+    """Per-op cell for the ``int8_all[_static]`` wide modes: the 1x1/NIN
+    channel matmul — bf16 einsum control vs the dynamic and static int8
+    paths (the dynamic wide mode lost in-model on its riders,
+    bench_int8_wide.json; static deletes them)."""
+    b_, hh, ww, cin, cout = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (b_, hh, ww, cin),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (cin, cout),
+                          jnp.bfloat16) * 0.05
+    bias = jnp.zeros((cout,), jnp.bfloat16)
+
+    fns = {
+        "bf16": _chain_f(
+            lambda z: jnp.einsum("...c,cd->...d", z, w) + bias, reps),
+        "int8_dyn": _chain_f(lambda z: conv1x1_int8(z, w, bias), reps),
+        "int8_st": _chain_f(
+            lambda z: conv1x1_int8(z, w, bias, act_amax=6.0), reps),
+    }
+    out = {"shape": ["nin", b_, hh, ww, cin, cout]}
+    times = {}
+    for k, f in fns.items():
+        try:
+            _ = float(f(x))
+        except Exception as e:
+            out[f"{k}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            continue
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            _ = float(f(x))
+            ts.append(time.time() - t0)
+        times[k] = sorted(ts)[len(ts) // 2] / reps
+    flops = 2 * b_ * hh * ww * cin * cout
+    for k, t in times.items():
+        out[f"{k}_ms"] = round(t * 1e3, 4)
+        out[f"{k}_tflops"] = round(flops / t / 1e12, 1)
+    if "bf16" in times:
+        for k in ("int8_dyn", "int8_st"):
+            if k in times:
+                out[f"{k}_speedup"] = round(times["bf16"] / times[k], 3)
+    return out
+
+
 def bench_gemm(n=4096, reps=30, runs=7):
     """Square-GEMM pin of the int8:bf16 MXU ratio (conv-schedule-free)."""
     a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
@@ -164,6 +216,8 @@ def main():
         return
     for shape in SHAPES:
         print(json.dumps(bench_shape(shape, a.reps, a.runs)), flush=True)
+    for shape in NIN_SHAPES:
+        print(json.dumps(bench_nin(shape, a.reps, a.runs)), flush=True)
 
 
 if __name__ == "__main__":
