@@ -77,19 +77,22 @@ def _flops_subprocess() -> float:
 
 def main(trace_dir: str | None = None, flops_only: bool = False,
          warm_only: bool = False):
-    # Default inference mode: W8A8 int8 resblock convs (the r5 measured
-    # winner: 811.6 vs 740.2 img/s bf16 on chip, accuracy at the bf16 noise
-    # floor — results/perf_r5/{bench_int8,bench_control,quant_accuracy}.json).
-    # BENCH_QUANT="" reverts to pure bf16; other values (int8_static,
-    # int8_all) select that NATDIFF_QUANT mode for A/B cells.  Set inside
-    # main() (trace time) and restored after, so importing/benching never
-    # leaks the flag into the process env (the test suite shares it).
+    # Default inference mode: W8A8 int8 resblock convs with STATIC
+    # activation scales (the r5 measured ladder on chip: bf16 740.2 →
+    # dynamic int8 811.6 → int8_static 1034.5 img/s,
+    # results/perf_r5/bench_{control,int8,int8_static}.json; trained-EMA
+    # trajectory accuracy at the bf16 noise floor for both int8 modes —
+    # quant_accuracy_static_trained.json ratio 0.903).  BENCH_QUANT=""
+    # reverts to pure bf16; other values (int8, int8_all, int8_all_static)
+    # select that NATDIFF_QUANT mode for A/B cells.  Set inside main()
+    # (trace time) and restored after, so importing/benching never leaks
+    # the flag into the process env (the test suite shares it).
     bq = os.environ.get("BENCH_QUANT")
     if bq is None:
         # int8 by default ONLY on the accelerator: XLA:CPU lowers s8 convs
         # to a reference path (a 2-step toy bench costs 24 CPU-minutes),
         # so the CPU smoke tests keep the float path
-        bq = "int8" if jax.default_backend() != "cpu" else ""
+        bq = "int8_static" if jax.default_backend() != "cpu" else ""
     prev_q = os.environ.get("NATDIFF_QUANT")
     if bq:
         os.environ["NATDIFF_QUANT"] = bq
